@@ -1,0 +1,135 @@
+"""Global alignment + average-flow tests."""
+
+import numpy as np
+import pytest
+
+from optflow_tpu.align.global_solve import (
+    solve_affine_alignment,
+    solve_translation_alignment,
+)
+from optflow_tpu.align.average_flow import WEIGHTS, average_flow_job
+from tests.conftest import make_fibsem_like
+
+
+def _make_matches(true_offsets, n_pts=20, noise=0.0, rng=None, z_dist=2):
+    """Synthetic match collection: section z's content at global position
+    x appears at x - off_z in section coords. A point feature seen in
+    sections a and b gives p = g - off_a, q = g - off_b."""
+    rng = rng or np.random.default_rng(0)
+    z = len(true_offsets)
+    recs = []
+    for a in range(z):
+        for b in range(a + 1, min(a + 1 + z_dist, z)):
+            g = rng.uniform(50, 450, size=(n_pts, 2))
+            p = g - true_offsets[a] + rng.normal(0, noise, (n_pts, 2))
+            q = g - true_offsets[b] + rng.normal(0, noise, (n_pts, 2))
+            recs.append({
+                "pGroupId": f"{a}.0", "qGroupId": f"{b}.0",
+                "pId": f"t{a}", "qId": f"t{b}",
+                "matches": {
+                    "p": p.T.tolist(), "q": q.T.tolist(),
+                    "w": [1.0] * n_pts,
+                },
+            })
+    return recs
+
+
+def test_translation_alignment_recovers_offsets(rng):
+    true = np.cumsum(rng.uniform(-5, 5, size=(10, 2)), axis=0)
+    true -= true[0]  # gauge: section 0 at origin
+    recs = _make_matches(true, rng=rng)
+    res = solve_translation_alignment(recs)
+    # solver convention: residual (p + t_a) - (q + t_b); p = g - off_a so
+    # t_a = off_a recovers alignment (up to gauge at section 0)
+    t = res.transforms[:, :, 2]
+    t -= t[0]
+    assert np.allclose(t, true, atol=0.05), np.abs(t - true).max()
+    assert res.residual < 0.05
+
+
+def test_translation_alignment_noisy(rng):
+    true = np.cumsum(rng.uniform(-3, 3, size=(20, 2)), axis=0)
+    true -= true[0]
+    recs = _make_matches(true, noise=0.5, rng=rng)
+    res = solve_translation_alignment(recs)
+    t = res.transforms[:, :, 2]
+    t -= t[0]
+    assert np.abs(t - true).max() < 0.6
+    assert res.residual < 1.5
+
+
+def test_translation_alignment_ignores_dummy_matches():
+    recs = [{
+        "pGroupId": "1.0", "qGroupId": "2.0", "pId": "a", "qId": "b",
+        "matches": {"p": [[-1], [-1]], "q": [[-1], [-1]], "w": [0]},
+    }]
+    res = solve_translation_alignment(recs)
+    assert res.residual == 0.0
+
+
+def test_affine_alignment_recovers_scaleless_warp(rng):
+    # small rotations per section
+    z = 6
+    true_angles = np.linspace(0, 0.02, z)
+    recs = []
+    for a in range(z - 1):
+        b = a + 1
+        g = rng.uniform(100, 400, size=(25, 2))
+        def to_sec(g, th):
+            c, s = np.cos(th), np.sin(th)
+            R = np.array([[c, s], [-s, c]])  # inverse rotation
+            return g @ R.T
+        p = to_sec(g, true_angles[a])
+        q = to_sec(g, true_angles[b])
+        recs.append({
+            "pGroupId": f"{a}.0", "qGroupId": f"{b}.0",
+            "pId": f"t{a}", "qId": f"t{b}",
+            "matches": {"p": p.T.tolist(), "q": q.T.tolist(),
+                        "w": [1.0] * 25},
+        })
+    res = solve_affine_alignment(recs, reg_lambda=1e-4)
+    assert res.residual < 0.2, res.residual
+
+
+def test_average_flow_weights_normalized():
+    assert len(WEIGHTS) == 6
+    assert abs(sum(WEIGHTS) - 1.0) < 1e-9
+    # symmetric, decaying with |dz|
+    assert WEIGHTS[0] == WEIGHTS[5] and WEIGHTS[2] == WEIGHTS[3]
+    assert WEIGHTS[2] > WEIGHTS[1] > WEIGHTS[0]
+
+
+def test_average_flow_job(rng, tmp_path):
+    """9 sections drifting in x: aligned outputs exist and the center
+    section moves toward the neighborhood average."""
+    import scipy.ndimage as ndi
+    from PIL import Image
+
+    base = make_fibsem_like(rng, 48, 64)
+    paths = []
+    for i in range(9):
+        shift = i * 0.8
+        ys, xs = np.mgrid[0:48, 0:64].astype(float)
+        im = ndi.map_coordinates(base, [ys, xs - shift], order=3,
+                                 mode="nearest")
+        p = tmp_path / f"s{i}.png"
+        Image.fromarray(im.astype(np.uint8)).save(str(p))
+        paths.append(str(p))
+
+    job = {
+        "style": 2,
+        "file_list": paths,
+        "output_dir": str(tmp_path),
+        "scale": 1.0,
+        "border": 0,
+        "nscales": 2,
+        "warps": 2,
+        "iterations": 30,
+    }
+    written = average_flow_job(job)
+    assert len(written) == 3  # sections 3, 4, 5
+    from optflow_tpu.core.imgio import read_float_tiff
+
+    out = read_float_tiff(str(tmp_path / "4.tiff"))
+    assert out.shape == (48, 64)
+    assert np.isfinite(out).all()

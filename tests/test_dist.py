@@ -1,0 +1,89 @@
+"""Distributed-layer tests on the 8-device virtual CPU mesh: sharded pair
+scheduler and tiled halo solve vs the monolithic solver."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from optflow_tpu.core.config import TVL1Params
+from optflow_tpu.dist.mesh import make_pair_mesh
+from optflow_tpu.dist.scheduler import PairScheduler
+from optflow_tpu.dist.tiled import tiled_tvl1_flow
+from optflow_tpu.ops.tvl1 import tvl1_flow
+from tests.conftest import make_fibsem_like
+from tests.test_tvl1 import mean_epe, translate
+
+FAST = TVL1Params(nscales=3, warps=2, iterations=40)
+
+
+def test_mesh_shapes():
+    mesh = make_pair_mesh()
+    assert mesh.shape["pairs"] == 8 and mesh.shape["rows"] == 1
+    mesh2 = make_pair_mesh(n_pairs_axis=4, n_rows_axis=2)
+    assert mesh2.shape["pairs"] == 4 and mesh2.shape["rows"] == 2
+
+
+def test_scheduler_solves_pairs_data_parallel(rng):
+    mesh = make_pair_mesh()
+    sched = PairScheduler(mesh, FAST)
+    pairs = []
+    gts = []
+    for k in range(5):  # deliberately not a multiple of 8 (padding path)
+        im0 = make_fibsem_like(rng, 48, 64)
+        dx, dy = 1.0 + 0.2 * k, -0.5
+        pairs.append((im0, translate(im0, dx, dy)))
+        gts.append((dx, dy))
+    flows = sched.solve_pairs(pairs)
+    assert len(flows) == 5
+    for flow, (dx, dy) in zip(flows, gts):
+        assert flow.shape == (48, 64, 2)
+        assert mean_epe(flow, dx, dy) < 0.4
+
+
+def test_scheduler_mixed_shapes(rng):
+    mesh = make_pair_mesh()
+    sched = PairScheduler(mesh, FAST)
+    a = make_fibsem_like(rng, 48, 64)
+    b = make_fibsem_like(rng, 32, 48)
+    flows = sched.solve_pairs(
+        [(a, translate(a, 1, 0)), (b, translate(b, 0, 1)),
+         (a, translate(a, 1, 0))]
+    )
+    assert flows[0].shape == (48, 64, 2)
+    assert flows[1].shape == (32, 48, 2)
+    assert mean_epe(flows[1], 0, 1) < 0.4
+
+
+def test_tiled_matches_monolithic(rng):
+    """Row-sharded halo solve must agree with the monolithic solve away
+    from seams."""
+    mesh = make_pair_mesh(n_pairs_axis=1, n_rows_axis=4)
+    im0 = make_fibsem_like(rng, 128, 96)
+    im1 = translate(im0, 1.5, 0.75)
+    params = TVL1Params(nscales=2, warps=2, iterations=40)
+
+    mono = np.asarray(tvl1_flow(jnp.asarray(im0), jnp.asarray(im1), params))
+    tiled = np.asarray(
+        tiled_tvl1_flow(
+            jnp.asarray(im0), jnp.asarray(im1), params, mesh,
+            halo=16, axis_name="rows",
+        )
+    )
+    assert tiled.shape == (128, 96, 2)
+    assert mean_epe(tiled, 1.5, 0.75, margin=10) < 0.4
+    # agreement with monolithic flow in the interior
+    diff = np.abs(tiled - mono)[10:-10, 10:-10]
+    assert float(np.median(diff)) < 0.1
+
+
+def test_tiled_epe_correct(rng):
+    mesh = make_pair_mesh(n_pairs_axis=1, n_rows_axis=8)
+    im0 = make_fibsem_like(rng, 128, 64)
+    im1 = translate(im0, -1.0, 2.0)
+    params = TVL1Params(nscales=2, warps=2, iterations=40)
+    tiled = np.asarray(
+        tiled_tvl1_flow(jnp.asarray(im0), jnp.asarray(im1), params, mesh,
+                        halo=16)
+    )
+    assert mean_epe(tiled, -1.0, 2.0, margin=12) < 0.4
