@@ -68,6 +68,12 @@ def run_job(
 ) -> Dict:
     """Execute a loaded job dict. Returns stats."""
     cfg = JobConfig(args)
+    prefetch = None
+    if loader is None and args.get("prefetch", True):
+        from optflow_tpu.engine.prefetch import make_prefetch_loader
+
+        prefetch = make_prefetch_loader(args)
+        loader = prefetch
     cache = FrameCache(loader)
     if sink is None:
         sink = make_sink(args)
@@ -129,5 +135,8 @@ def run_job(
         sink.put(batch)
         args["point_matches"] = []
         stats["uploads"] += 1
+
+    if prefetch is not None:
+        prefetch.close()
 
     return stats

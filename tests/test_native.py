@@ -1,0 +1,134 @@
+"""Native loader tests: build, decode parity with the Python path,
+threading, error handling, and prefetch integration."""
+
+import numpy as np
+import pytest
+
+from optflow_tpu.core.imgio import ImageReadError, read_gray_scaled
+
+native = pytest.importorskip("optflow_tpu.native")
+
+if not native.available():  # pragma: no cover
+    pytest.skip("native loader failed to build", allow_module_level=True)
+
+
+def _write_png(path, arr):
+    from PIL import Image
+
+    Image.fromarray(arr).save(path)
+
+
+def _write_jpeg(path, arr):
+    from PIL import Image
+
+    Image.fromarray(arr).save(path, quality=95)
+
+
+@pytest.fixture(scope="module")
+def loader():
+    ldr = native.NativeLoader(n_threads=3)
+    yield ldr
+    ldr.close()
+
+
+def test_png_gray_parity(tmp_path, rng, loader):
+    arr = rng.integers(0, 255, size=(40, 56), dtype=np.uint8)
+    p = tmp_path / "g.png"
+    _write_png(str(p), arr)
+    out = loader.load(str(p), 1.0)
+    assert out.shape == (40, 56)
+    assert np.array_equal(out, arr.astype(np.float32))
+
+
+def test_png_rgb_to_gray(tmp_path, rng, loader):
+    rgb = rng.integers(0, 255, size=(24, 24, 3), dtype=np.uint8)
+    p = tmp_path / "c.png"
+    _write_png(str(p), rgb)
+    out = loader.load(str(p), 1.0)
+    ref = read_gray_scaled(str(p), 1.0)
+    assert out.shape == ref.shape
+    # BT.601 luma; implementations may round differently by ~1 level
+    assert float(np.abs(out - ref).max()) <= 2.0
+
+
+def test_jpeg_decode(tmp_path, rng, loader):
+    arr = rng.integers(0, 255, size=(32, 32), dtype=np.uint8)
+    p = tmp_path / "j.jpg"
+    _write_jpeg(str(p), arr)
+    out = loader.load(str(p), 1.0)
+    assert out.shape == (32, 32)
+    # lossy codec: coarse agreement
+    assert float(np.abs(out - arr.astype(np.float32)).mean()) < 6.0
+
+
+def test_resize_parity_with_cv2(tmp_path, rng, loader):
+    arr = rng.integers(0, 255, size=(64, 80), dtype=np.uint8)
+    p = tmp_path / "r.png"
+    _write_png(str(p), arr)
+    out = loader.load(str(p), 0.5)
+    ref = read_gray_scaled(str(p), 0.5)  # cv2 INTER_LINEAR fixed-point
+    assert out.shape == ref.shape == (32, 40)
+    assert float(np.abs(out - ref).max()) <= 1.0
+
+
+def test_missing_file_raises(loader):
+    with pytest.raises(ImageReadError):
+        loader.load("/nonexistent/nope.png", 1.0)
+
+
+def test_corrupt_file_raises(tmp_path, loader):
+    p = tmp_path / "bad.png"
+    p.write_bytes(b"\x89PNG\r\n\x1a\nnot really a png")
+    with pytest.raises(ImageReadError):
+        loader.load(str(p), 1.0)
+
+
+def test_concurrent_submissions(tmp_path, rng, loader):
+    paths = []
+    arrays = []
+    for i in range(12):
+        arr = rng.integers(0, 255, size=(20 + i, 30), dtype=np.uint8)
+        p = tmp_path / f"m{i}.png"
+        _write_png(str(p), arr)
+        paths.append(str(p))
+        arrays.append(arr)
+    jobs = [loader.submit(p, 1.0) for p in paths]
+    for job, arr in zip(jobs, arrays):
+        out = loader.wait(job)
+        assert np.array_equal(out, arr.astype(np.float32))
+
+
+def test_prefetch_loader_in_run_job(tmp_path, rng):
+    """run_job with the native prefetch loader produces the same outputs
+    as the Python loader."""
+    from optflow_tpu.engine.runner import run_job
+    from optflow_tpu.core.imgio import read_float_tiff
+    from tests.conftest import make_fibsem_like
+    import scipy.ndimage as ndi
+
+    im0 = make_fibsem_like(rng, 48, 64)
+    ys, xs = np.mgrid[0:48, 0:64].astype(float)
+    im1 = ndi.map_coordinates(im0, [ys, xs - 1.0], order=3, mode="nearest")
+    _write_png(str(tmp_path / "a.png"), im0.astype(np.uint8))
+    _write_png(str(tmp_path / "b.png"), im1.astype(np.uint8))
+
+    def job(outdir, prefetch):
+        return {
+            "style": 1, "scale": 1.0, "output_type": "flow",
+            "output_dir": str(outdir), "rois": {"top": 24},
+            "prefetch": prefetch,
+            "nscales": 2, "warps": 2, "iterations": 25,
+            "images": [{"p": str(tmp_path / "a.png"),
+                        "q": str(tmp_path / "b.png"),
+                        "output_name": "x"}],
+        }
+
+    d1 = tmp_path / "native"
+    d2 = tmp_path / "python"
+    d1.mkdir()
+    d2.mkdir()
+    run_job(job(d1, True))
+    run_job(job(d2, False))
+    f1 = read_float_tiff(str(d1 / "x_1.00_top_x.tiff"))
+    f2 = read_float_tiff(str(d2 / "x_1.00_top_x.tiff"))
+    assert np.allclose(f1, f2, atol=1e-4)
