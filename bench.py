@@ -9,8 +9,12 @@ at the reference's default parameters (tau=.25, lambda=.05, theta=.3,
 nscales=10, warps=5, iterations=300, eps=.01, scaleStep=.8 — the exact
 defaults of src/optflow.cpp:503-512). The reference publishes no numbers
 (BASELINE.md), so vs_baseline is reported against a 1.0 MP-pairs/s nominal
-target; the EPE gate (<=0.5 px, driver target) is checked alongside and
-included in the auxiliary fields.
+target; the EPE gate (<=0.5 px, driver target) is checked alongside.
+
+Timing method: the per-dispatch synchronization latency of the harness's
+TPU tunnel (~0.3 s) is amortized by chaining R batched solves with a data
+dependency and synchronizing once — matching the production dispatch
+pattern where the scheduler keeps the chip busy.
 """
 
 import json
@@ -61,9 +65,9 @@ def main():
 
     solve = jax.jit(jax.vmap(lambda a, b: tvl1_flow(a, b, params)))
 
-    # Compile + warm up.
+    # Compile + warm up (+ force full execution with a readback).
     flow = solve(i0, i1)
-    flow.block_until_ready()
+    _ = float(flow[0, 0, 0, 0])
 
     # EPE check on the warmup result (interior crop).
     f = np.asarray(flow[0])
@@ -74,11 +78,16 @@ def main():
         ).mean()
     )
 
-    reps = 3
+    # Chained timing: R dependent solves, one final sync.
+    R = 5
     t0 = time.perf_counter()
-    for _ in range(reps):
-        solve(i0, i1)[0].block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+    x = i0
+    out = None
+    for _ in range(R):
+        out = solve(x, i1)
+        x = i0 + out[..., 0] * 1e-12
+    _ = float(out[0, 0, 0, 0])
+    dt = (time.perf_counter() - t0) / R
 
     mp_pairs_per_s = BATCH * (H * W / 1e6) / dt
 
