@@ -34,9 +34,15 @@ def main(argv=None) -> int:
     style = int(args.get("style", 1))
     if style == 1:
         from optflow_tpu.engine.features_glue import default_aligner
-        from optflow_tpu.engine.runner import run_job
 
-        stats = run_job(args, aligner=default_aligner)
+        if int(args.get("pair_batch", 1)) > 1:
+            from optflow_tpu.engine.batch_runner import run_job_batched
+
+            stats = run_job_batched(args, aligner=default_aligner)
+        else:
+            from optflow_tpu.engine.runner import run_job
+
+            stats = run_job(args, aligner=default_aligner)
         print(f"done: {stats}")
         return 0
     if style == 2:

@@ -1,0 +1,262 @@
+"""Batched job runner: same-shape pairs solved together under one jit.
+
+The reference's pair loop is strictly sequential — one GPU solve per pair
+(src/optflow.cpp:87-171). On TPU, throughput comes from batching: pairs
+whose frames, ROI set, solver parameters, and output type match are
+grouped, their ROI slices stacked along a leading batch dimension, and
+solved in a single vmapped dispatch (which also shards across a device
+mesh via the dist.PairScheduler layout). Host-side post-processing
+(TIFF writing, point sampling, match accumulation) stays per-pair and
+preserves the reference's ordering and upload-batching semantics.
+
+Pairs that can't batch — feature pre-alignment enabled, custom_diff ROIs,
+mismatched frame shapes — fall back to the sequential solve_rois path,
+so behavior is identical and batching is purely an optimization.
+
+Enable via the job key ``pair_batch`` (int > 1) or call
+:func:`run_job_batched` directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optflow_tpu.core.config import JobConfig, TVL1Params, cfg_get, resolve_features
+from optflow_tpu.core.imgio import ImageReadError, write_float_tiff
+from optflow_tpu.engine.journal import JobJournal, pair_key
+from optflow_tpu.engine.pair import Aligner, _solve_mode, solve_rois
+from optflow_tpu.engine.rois import Roi, resolve_rois
+from optflow_tpu.engine.runner import FrameCache
+from optflow_tpu.engine.sampler import move_pm, random_points
+from optflow_tpu.sinks.http import make_sink
+from optflow_tpu.utils.metrics import StageTimer
+
+def _batched_solver(h: int, w: int, params: TVL1Params, mode: str):
+    from optflow_tpu.ops.tvl1 import tvl1_flow
+
+    def f(i0, i1):
+        flow = tvl1_flow(i0, i1, params)
+        fx = flow[..., 0]
+        fy = flow[..., 1]
+        if mode != "displacement":
+            mx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+            my = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        if mode == "map":
+            fx, fy = fx + mx, fy + my
+        bg = i1 <= 1.0
+        fx = jnp.where(bg, 0.0, fx)
+        fy = jnp.where(bg, 0.0, fy)
+        valid = (i0 > 1.0) | (i1 > 1.0)
+        return fx, fy, valid
+
+    return jax.jit(jax.vmap(f))
+
+
+_batched_cache: Dict[Tuple, object] = {}
+
+
+def _get_batched_solver(h, w, params, mode):
+    key = (h, w, params, mode)
+    if key not in _batched_cache:
+        _batched_cache[key] = _batched_solver(h, w, params, mode)
+    return _batched_cache[key]
+
+
+@dataclasses.dataclass
+class _Task:
+    index: int
+    im_data: Dict
+    frame0: np.ndarray
+    frame1: np.ndarray
+    rois: Dict[str, Roi]
+
+
+def _group_key(im_data, args, frame0, frame1, rois, cfg: JobConfig):
+    params = TVL1Params.from_config(im_data, args)
+    roi_sig = tuple(sorted((k, v) for k, v in rois.items()))
+    return (
+        frame0.shape,
+        frame1.shape,
+        params,
+        cfg.output_type(im_data),
+        roi_sig,
+    )
+
+
+def _batchable(im_data, args, frame0, frame1, rois) -> bool:
+    if resolve_features(im_data, args):
+        return False
+    if frame0.shape != frame1.shape:
+        return False  # forces the feature path (src/optflow.cpp:366-377)
+    for k, v in rois.items():
+        if k in ("custom_diff", "default") or not isinstance(v, Roi):
+            return False
+    return True
+
+
+def run_job_batched(
+    args: Dict,
+    *,
+    aligner: Optional[Aligner] = None,
+    sink=None,
+    loader=None,
+    write_outputs: bool = True,
+    pair_batch: Optional[int] = None,
+) -> Dict:
+    """Batched equivalent of runner.run_job (same stats contract)."""
+    cfg = JobConfig(args)
+    if pair_batch is None:
+        pair_batch = int(args.get("pair_batch", 8))
+    prefetch = None
+    if loader is None and args.get("prefetch", True):
+        from optflow_tpu.engine.prefetch import make_prefetch_loader
+
+        prefetch = make_prefetch_loader(args)
+        loader = prefetch
+    cache = FrameCache(loader)
+    if sink is None:
+        sink = make_sink(args)
+    journal = JobJournal(str(args["journal"])) if args.get("journal") else None
+    completed = (
+        journal.completed_keys(cfg.output_type({})) if journal else set()
+    )
+    timer = StageTimer()
+
+    stats = {"pairs": 0, "skipped": 0, "uploads": 0, "matches": 0,
+             "resumed": 0, "batched": 0, "sequential": 0}
+    batch_size = cfg.batch_size()
+    upload_state = {"last": 0, "pending": False}
+
+    def maybe_flush(i: int, force: bool = False):
+        if not upload_state["pending"]:
+            return
+        if force or i > upload_state["last"] + batch_size:
+            batch = args.get("point_matches", [])
+            stats["matches"] += sum(
+                len(m["matches"].get("w", [])) for m in batch
+            )
+            with timer.stage("sink"):
+                sink.put(batch)
+            args["point_matches"] = []
+            stats["uploads"] += 1
+            upload_state["last"] = i
+            upload_state["pending"] = False
+            if journal:
+                journal.record_flush()
+
+    def post_process(task: _Task, roi_key: str, roi: Roi, fx, fy, valid):
+        im_data = task.im_data
+        suffix = "_" + roi_key if roi_key in ("top", "bottom") else ""
+        im_data["output_suffix"] = suffix
+        output_type = cfg.output_type(im_data)
+        if output_type in ("map", "flow") and write_outputs:
+            base = str(im_data.get("output", "")) + suffix
+            write_float_tiff(base + "_x.tiff", fx)
+            write_float_tiff(base + "_y.tiff", fy)
+        if output_type == "random_points":
+            scale = cfg.scale(im_data)
+            im_data["point_matches"] = random_points(
+                fx, fy, valid, (roi, roi),
+                npoints=cfg.npoints(im_data),
+                inv_scale=1.0 / scale,
+                features=False,
+                debug=cfg.debug,
+                point_matches=im_data.get("point_matches"),
+            )
+
+    def flush_group(tasks: List[_Task]):
+        if not tasks:
+            return
+        t0 = tasks[0]
+        params = TVL1Params.from_config(t0.im_data, args)
+        output_type = cfg.output_type(t0.im_data)
+        mode = _solve_mode(False, output_type)
+        for roi_key in sorted(t0.rois.keys()):
+            roi: Roi = t0.rois[roi_key]  # type: ignore[assignment]
+            h, w = roi.shape
+            f0s = np.stack([t.frame0[roi.slices()] for t in tasks])
+            f1s = np.stack([t.frame1[roi.slices()] for t in tasks])
+            solver = _get_batched_solver(h, w, params, mode)
+            with timer.stage("solve"):
+                fxs, fys, valids = solver(
+                    jnp.asarray(f0s), jnp.asarray(f1s)
+                )
+                fxs = np.asarray(fxs)
+                fys = np.asarray(fys)
+                valids = np.asarray(valids)
+            with timer.stage("postprocess"):
+                for j, task in enumerate(tasks):
+                    post_process(
+                        task, roi_key, roi, fxs[j], fys[j], valids[j]
+                    )
+        for task in tasks:
+            stats["pairs"] += 1
+            stats["batched"] += 1
+            if cfg.output_type(task.im_data) == "random_points":
+                move_pm(task.im_data, args)
+                upload_state["pending"] = True
+            if journal:
+                journal.record_pair(pair_key(task.im_data))
+            maybe_flush(task.index)
+
+    groups: Dict[Tuple, List[_Task]] = {}
+
+    for i, im_data in enumerate(cfg.images):
+        p = str(im_data["p"])
+        q = str(im_data["q"])
+        scale = cfg.scale(im_data)
+        im_data["scale"] = scale
+        if journal and pair_key(im_data) in completed:
+            stats["resumed"] += 1
+            continue
+        print(f"{p} {q}")
+        try:
+            with timer.stage("decode"):
+                frame0, frame1 = cache.get_pair(p, q, scale)
+        except ImageReadError as e:
+            print(f"Error: {e.args[0]} ", file=sys.stderr)
+            stats["skipped"] += 1
+            continue
+        rows = min(frame0.shape[0], frame1.shape[0])
+        cols = min(frame0.shape[1], frame1.shape[1])
+        rois = resolve_rois(im_data, args, rows, cols)
+        im_data["output"] = cfg.output_path(im_data)
+
+        if _batchable(im_data, args, frame0, frame1, rois):
+            key = _group_key(im_data, args, frame0, frame1, rois, cfg)
+            groups.setdefault(key, []).append(
+                _Task(i, im_data, frame0.copy(), frame1.copy(), rois)
+            )
+            if len(groups[key]) >= pair_batch:
+                flush_group(groups.pop(key))
+        else:
+            with timer.stage("solve"):
+                solve_rois(
+                    frame0, frame1, rois, im_data, args,
+                    aligner=aligner, write_outputs=write_outputs,
+                )
+            stats["pairs"] += 1
+            stats["sequential"] += 1
+            if cfg.output_type(im_data) == "random_points":
+                move_pm(im_data, args)
+                upload_state["pending"] = True
+            if journal:
+                journal.record_pair(pair_key(im_data))
+            maybe_flush(i)
+
+    for tasks in groups.values():
+        flush_group(tasks)
+    maybe_flush(len(cfg.images), force=True)
+
+    if prefetch is not None:
+        prefetch.close()
+    if journal:
+        journal.close()
+    stats["timing"] = timer.summary(stats["pairs"])
+    return stats

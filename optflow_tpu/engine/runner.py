@@ -67,6 +67,9 @@ def run_job(
     write_outputs: bool = True,
 ) -> Dict:
     """Execute a loaded job dict. Returns stats."""
+    from optflow_tpu.engine.journal import JobJournal, pair_key
+    from optflow_tpu.utils.metrics import StageTimer
+
     cfg = JobConfig(args)
     prefetch = None
     if loader is None and args.get("prefetch", True):
@@ -78,20 +81,43 @@ def run_job(
     if sink is None:
         sink = make_sink(args)
 
+    journal = JobJournal(str(args["journal"])) if args.get("journal") else None
+    completed = (
+        journal.completed_keys(cfg.output_type({})) if journal else set()
+    )
+    timer = StageTimer()
+
     last_upload = 0
     any_upload_since = False
     batch_size = cfg.batch_size()
-    stats = {"pairs": 0, "skipped": 0, "uploads": 0, "matches": 0}
+    stats = {"pairs": 0, "skipped": 0, "uploads": 0, "matches": 0,
+             "resumed": 0}
+
+    def flush():
+        batch = args.get("point_matches", [])
+        stats["matches"] += sum(
+            len(m["matches"].get("w", [])) for m in batch
+        )
+        with timer.stage("sink"):
+            sink.put(batch)
+        args["point_matches"] = []
+        stats["uploads"] += 1
+        if journal:
+            journal.record_flush()
 
     for i, im_data in enumerate(cfg.images):
         p = str(im_data["p"])
         q = str(im_data["q"])
         scale = cfg.scale(im_data)
         im_data["scale"] = scale
+        if journal and pair_key(im_data) in completed:
+            stats["resumed"] += 1
+            continue
         print(f"{p} {q}")
 
         try:
-            frame0, frame1 = cache.get_pair(p, q, scale)
+            with timer.stage("decode"):
+                frame0, frame1 = cache.get_pair(p, q, scale)
         except ImageReadError as e:
             print(f"Error: {e.args[0]} ", file=sys.stderr)
             stats["skipped"] += 1
@@ -102,41 +128,36 @@ def run_job(
         rois = resolve_rois(im_data, args, rows, cols)
 
         im_data["output"] = cfg.output_path(im_data)
-        solve_rois(
-            frame0,
-            frame1,
-            rois,
-            im_data,
-            args,
-            aligner=aligner,
-            write_outputs=write_outputs,
-        )
+        with timer.stage("solve"):
+            solve_rois(
+                frame0,
+                frame1,
+                rois,
+                im_data,
+                args,
+                aligner=aligner,
+                write_outputs=write_outputs,
+            )
         stats["pairs"] += 1
 
         if cfg.output_type(im_data) == "random_points":
             move_pm(im_data, args)
             any_upload_since = True
+        if journal:
+            journal.record_pair(pair_key(im_data))
+        if cfg.output_type(im_data) == "random_points":
             if i > last_upload + batch_size:
-                batch = args.get("point_matches", [])
-                stats["matches"] += sum(
-                    len(m["matches"].get("w", [])) for m in batch
-                )
-                sink.put(batch)
-                args["point_matches"] = []
-                stats["uploads"] += 1
+                flush()
                 last_upload = i
                 any_upload_since = False
 
     if any_upload_since:
-        batch = args.get("point_matches", [])
-        stats["matches"] += sum(
-            len(m["matches"].get("w", [])) for m in batch
-        )
-        sink.put(batch)
-        args["point_matches"] = []
-        stats["uploads"] += 1
+        flush()
 
     if prefetch is not None:
         prefetch.close()
+    if journal:
+        journal.close()
 
+    stats["timing"] = timer.summary(stats["pairs"])
     return stats
