@@ -72,6 +72,10 @@ def _detect_describe(im: jnp.ndarray, ftype: int, im_args, args):
         n_octave_layers=p.n_octave_layers,
         capacity=cap,
     )
+    if not p.upright:
+        from optflow_tpu.features.descriptors import estimate_orientations
+
+        kps = kps._replace(angle=estimate_orientations(im, kps))
     desc = surf_descriptors(im, kps, upright=p.upright)
     return kps, desc, False
 

@@ -54,6 +54,43 @@ _SURF_W = np.exp(
 ).astype(np.float32)
 
 
+# Orientation sampling pattern: disk of radius 6 (in sigma units).
+def _orient_offsets():
+    coords = np.arange(-6, 7, dtype=np.float32)
+    oy, ox = np.meshgrid(coords, coords, indexing="ij")
+    keep = ox**2 + oy**2 <= 36.0
+    w = np.exp(-(ox**2 + oy**2) / (2 * 2.5**2))
+    return (
+        ox[keep].astype(np.float32),
+        oy[keep].astype(np.float32),
+        w[keep].astype(np.float32),
+    )
+
+
+_OR_OX, _OR_OY, _OR_W = _orient_offsets()
+
+
+@jax.jit
+def estimate_orientations(im: jnp.ndarray, kps: Keypoints) -> jnp.ndarray:
+    """Dominant gradient orientation per keypoint: the angle of the
+    Gaussian-weighted mean gradient over a 6-sigma disk (the role of
+    SURF's sliding-sector Haar voting, simplified to its first moment)."""
+    gx, gy = gaussian_gradients(im.astype(jnp.float32), 2.0)
+    ox = jnp.asarray(_OR_OX)
+    oy = jnp.asarray(_OR_OY)
+    wgt = jnp.asarray(_OR_W)
+
+    def one(x, y, sigma):
+        sx = x + sigma * ox
+        sy = y + sigma * oy
+        dx = bilinear_sample(gx, sx.reshape(1, -1), sy.reshape(1, -1))[0]
+        dy = bilinear_sample(gy, sx.reshape(1, -1), sy.reshape(1, -1))[0]
+        return jnp.arctan2(jnp.sum(dy * wgt), jnp.sum(dx * wgt))
+
+    angles = jax.vmap(one)(kps.x, kps.y, kps.sigma)
+    return jnp.where(kps.valid, angles, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("upright",))
 def surf_descriptors(
     im: jnp.ndarray, kps: Keypoints, upright: bool = False

@@ -51,7 +51,9 @@ def _gauss_kernel(sigma: float, order: int = 0) -> np.ndarray:
         k = g
         k = k / k.sum()
     elif order == 1:
-        k = -x / sigma**2 * g
+        # XLA conv is cross-correlation (no kernel flip), so the odd
+        # first-derivative kernel carries +x to yield d/dx.
+        k = x / sigma**2 * g
     else:
         k = (x**2 - sigma**2) / sigma**4 * g
     return k.astype(np.float32)

@@ -273,3 +273,41 @@ def test_engine_integration_feature_prealign(rng, tmp_path):
     # composed with residual TV-L1 flow: ~ +12? A maps im0->im1 shifting
     # content by -12 means im1(x) = im0(x+12): true forward flow is -12.
     assert abs(med - (-12.0)) < 1.5, med
+
+
+def test_estimate_orientations_ramp():
+    """A pure intensity ramp has gradient direction = ramp direction."""
+    import jax.numpy as jnp
+    from optflow_tpu.features.descriptors import estimate_orientations
+    from optflow_tpu.features.detect import Keypoints
+
+    h = w = 64
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    th = np.deg2rad(30.0)
+    im = np.cos(th) * xs + np.sin(th) * ys
+    kps = Keypoints(
+        x=jnp.asarray([32.0]), y=jnp.asarray([32.0]),
+        sigma=jnp.asarray([2.0]), angle=jnp.asarray([0.0]),
+        response=jnp.asarray([1.0]), valid=jnp.asarray([True]),
+    )
+    ang = float(estimate_orientations(jnp.asarray(im), kps)[0])
+    assert abs(ang - th) < 0.05
+
+
+def test_find_alignment_moderate_rotation(rng):
+    """10-degree rotation: needs rotation-invariant descriptors."""
+    im0 = make_fibsem_like(rng, 192, 192, smooth=5)
+    th = np.deg2rad(10.0)
+    c, s = np.cos(th), np.sin(th)
+    cx = cy = 96.0
+    # rotate about the center to keep content in frame
+    A = np.array([
+        [c, -s, cx - c * cx + s * cy],
+        [s, c, cy - s * cx - c * cy],
+    ])
+    im1 = _affine_warp_np(im0, A)
+    aff = find_alignment(im1, im0, {}, dict(ALIGN_ARGS))
+    Ainv = np.linalg.inv(np.vstack([A, [0, 0, 1]]))[:2]
+    # must NOT fall back to identity, and the linear part must match
+    assert not np.allclose(aff, np.array([[1, 0, 0], [0, 1, 0]]), atol=1e-3)
+    assert np.allclose(aff[:, :2], Ainv[:, :2], atol=0.05), aff
