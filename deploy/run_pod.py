@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Multi-host TPU pod launcher.
+
+The reference scales by launching independent Singularity containers per
+job file on an LSF cluster (singularity/janelia_run.sh; SURVEY.md §1 L6).
+The TPU-native equivalent runs ONE logical job across a pod slice: every
+host starts this script (typically via the TPU VM's per-worker exec), they
+join through jax.distributed, build a global (pairs, rows) mesh, and the
+pair scheduler shards the job's pair list across all hosts' devices.
+
+Coordinator settings come from flags or the standard TPU environment
+(in a Cloud TPU pod slice jax.distributed.initialize() autodetects; the
+flags are for manual clusters).
+
+Usage (per host):
+  python deploy/run_pod.py job.json.gz \
+      [--coordinator host:port --num-processes N --process-id I]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("filename")
+    parser.add_argument("--coordinator", default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--rows-axis", type=int, default=1,
+                        help="devices per image (spatial tiling); the rest "
+                             "go to the pairs axis")
+    ns = parser.parse_args(argv)
+
+    import jax
+
+    import os
+
+    if ns.coordinator or ns.num_processes:
+        jax.distributed.initialize(
+            coordinator_address=ns.coordinator,
+            num_processes=ns.num_processes,
+            process_id=ns.process_id,
+        )
+    elif os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # Cloud TPU pod autodetect path; only attempted when the cluster
+        # env is present (an unconditional initialize() breaks single-host
+        # runs on experimental PJRT plugins).
+        jax.distributed.initialize()
+
+    from optflow_tpu.core.config import load_job
+    from optflow_tpu.engine.batch_runner import run_job_batched
+    from optflow_tpu.engine.features_glue import default_aligner
+
+    args = load_job(ns.filename)
+    # In a multi-process job every host runs the same pair loop; shard the
+    # image list round-robin by process so hosts split the decode work,
+    # while each host's batched solves use its local devices.
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    if n_proc > 1:
+        args["images"] = args.get("images", [])[pid::n_proc]
+        if args.get("journal"):
+            args["journal"] = f"{args['journal']}.{pid}"
+
+    stats = run_job_batched(args, aligner=default_aligner)
+    print(f"[host {pid}/{n_proc}] done: {stats}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -133,3 +133,28 @@ def test_average_flow_job(rng, tmp_path):
     out = read_float_tiff(str(tmp_path / "4.tiff"))
     assert out.shape == (48, 64)
     assert np.isfinite(out).all()
+
+
+def test_distributed_alignment_matches_single_device(rng):
+    """Edge-sharded CG over the 8-device mesh reproduces the single-device
+    solve."""
+    from optflow_tpu.align.distributed import (
+        solve_translation_alignment_sharded,
+    )
+    from optflow_tpu.align.global_solve import solve_translation_alignment
+    from optflow_tpu.dist.mesh import make_pair_mesh
+
+    true = np.cumsum(rng.uniform(-4, 4, size=(12, 2)), axis=0)
+    true -= true[0]
+    recs = _make_matches(true, n_pts=15, noise=0.2, rng=rng)
+    mesh = make_pair_mesh()
+
+    single = solve_translation_alignment(recs)
+    sharded = solve_translation_alignment_sharded(recs, mesh)
+    t_single = single.transforms[:, :, 2]
+    t_sharded = sharded.transforms[:, :, 2]
+    assert np.allclose(t_single, t_sharded, atol=1e-3)
+    assert abs(single.residual - sharded.residual) < 1e-3
+    # and it actually recovers the truth
+    t = t_sharded - t_sharded[0]
+    assert np.abs(t - true).max() < 0.4
