@@ -37,7 +37,7 @@ from optflow_tpu.engine.sampler import move_pm, random_points
 from optflow_tpu.sinks.http import make_sink
 from optflow_tpu.utils.metrics import StageTimer
 
-def _batched_solver(h: int, w: int, params: TVL1Params, mode: str):
+def _batched_solver(h: int, w: int, params: TVL1Params, mode: str, mesh):
     from optflow_tpu.ops.tvl1 import tvl1_flow
 
     def f(i0, i1):
@@ -55,16 +55,26 @@ def _batched_solver(h: int, w: int, params: TVL1Params, mode: str):
         valid = (i0 > 1.0) | (i1 > 1.0)
         return fx, fy, valid
 
-    return jax.jit(jax.vmap(f))
+    if mesh is None:
+        return jax.jit(jax.vmap(f)), None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("pairs", None, None))
+    jitted = jax.jit(
+        jax.vmap(f),
+        in_shardings=(sharding, sharding),
+        out_shardings=(sharding, sharding, sharding),
+    )
+    return jitted, sharding
 
 
 _batched_cache: Dict[Tuple, object] = {}
 
 
-def _get_batched_solver(h, w, params, mode):
-    key = (h, w, params, mode)
+def _get_batched_solver(h, w, params, mode, mesh):
+    key = (h, w, params, mode, id(mesh))
     if key not in _batched_cache:
-        _batched_cache[key] = _batched_solver(h, w, params, mode)
+        _batched_cache[key] = _batched_solver(h, w, params, mode, mesh)
     return _batched_cache[key]
 
 
@@ -108,11 +118,23 @@ def run_job_batched(
     loader=None,
     write_outputs: bool = True,
     pair_batch: Optional[int] = None,
+    mesh=None,
 ) -> Dict:
-    """Batched equivalent of runner.run_job (same stats contract)."""
+    """Batched equivalent of runner.run_job (same stats contract).
+
+    With more than one local device and no explicit ``mesh``, a pairs-axis
+    mesh over all devices is built automatically so group solves shard
+    data-parallel (pair_batch is rounded up to a multiple of the axis)."""
     cfg = JobConfig(args)
     if pair_batch is None:
         pair_batch = int(args.get("pair_batch", 8))
+    if mesh is None and jax.device_count() > 1:
+        from optflow_tpu.dist.mesh import make_pair_mesh
+
+        mesh = make_pair_mesh()
+    n_shards = mesh.shape["pairs"] if mesh is not None else 1
+    if n_shards > 1:
+        pair_batch = -(-pair_batch // n_shards) * n_shards
     prefetch = None
     if loader is None and args.get("prefetch", True):
         from optflow_tpu.engine.prefetch import make_prefetch_loader
@@ -177,16 +199,22 @@ def run_job_batched(
         params = TVL1Params.from_config(t0.im_data, args)
         output_type = cfg.output_type(t0.im_data)
         mode = _solve_mode(False, output_type)
+        n_pad = -(-len(tasks) // n_shards) * n_shards
         for roi_key in sorted(t0.rois.keys()):
             roi: Roi = t0.rois[roi_key]  # type: ignore[assignment]
             h, w = roi.shape
-            f0s = np.stack([t.frame0[roi.slices()] for t in tasks])
-            f1s = np.stack([t.frame1[roi.slices()] for t in tasks])
-            solver = _get_batched_solver(h, w, params, mode)
+            f0s = np.zeros((n_pad, h, w), np.float32)
+            f1s = np.zeros((n_pad, h, w), np.float32)
+            for j, t in enumerate(tasks):
+                f0s[j] = t.frame0[roi.slices()]
+                f1s[j] = t.frame1[roi.slices()]
+            solver, sharding = _get_batched_solver(h, w, params, mode, mesh)
+            a, b = jnp.asarray(f0s), jnp.asarray(f1s)
+            if sharding is not None:
+                a = jax.device_put(a, sharding)
+                b = jax.device_put(b, sharding)
             with timer.stage("solve"):
-                fxs, fys, valids = solver(
-                    jnp.asarray(f0s), jnp.asarray(f1s)
-                )
+                fxs, fys, valids = solver(a, b)
                 fxs = np.asarray(fxs)
                 fys = np.asarray(fys)
                 valids = np.asarray(valids)
