@@ -11,10 +11,13 @@ defaults of src/optflow.cpp:503-512). The reference publishes no numbers
 (BASELINE.md), so vs_baseline is reported against a 1.0 MP-pairs/s nominal
 target; the EPE gate (<=0.5 px, driver target) is checked alongside.
 
-Timing method: the per-dispatch synchronization latency of the harness's
-TPU tunnel (~0.3 s) is amortized by chaining R batched solves with a data
-dependency and synchronizing once — matching the production dispatch
-pattern where the scheduler keeps the chip busy.
+Robustness notes (learned on the harness's TPU tunnel):
+  - the FIRST execution of a freshly compiled large program can take
+    minutes and occasionally crashes/restarts the remote TPU worker; the
+    bench therefore warms up patiently and retries the whole measurement
+    from scratch (fresh input upload) on JaxRuntimeError.
+  - device->host traffic is kept to scalars: EPE is reduced on device and
+    timing reps sync on a single-element readback.
 """
 
 import json
@@ -22,6 +25,12 @@ import sys
 import time
 
 import numpy as np
+
+H, W = 256, 1024  # production-representative strip geometry (SURVEY.md §6)
+BATCH = 4
+DX, DY = 2.0, -1.25
+REPS = 5
+ATTEMPTS = 3
 
 
 def make_pair(h, w, dx, dy, seed=0):
@@ -42,52 +51,77 @@ def make_pair(h, w, dx, dy, seed=0):
     return im0, im1
 
 
-def main():
+def _measure(i0_np, i1_np):
+    """One full measurement attempt. Raises on TPU worker failure."""
     import jax
     import jax.numpy as jnp
 
     from optflow_tpu.core.config import TVL1Params
     from optflow_tpu.ops.tvl1 import tvl1_flow
 
+    params = TVL1Params()  # reference defaults
+
+    # Nudge the worker awake with a trivial program before the big one.
+    _ = float(jnp.ones((8, 128)).sum())
+
+    i0 = jnp.asarray(i0_np)
+    i1 = jnp.asarray(i1_np)
+
+    def solve_and_epe(a, b):
+        flow = jax.vmap(lambda x, y: tvl1_flow(x, y, params))(a, b)
+        m = 16
+        inner = flow[:, m:-m, m:-m, :]
+        epe = jnp.sqrt(
+            (inner[..., 0] - DX) ** 2 + (inner[..., 1] - DY) ** 2
+        ).mean()
+        return flow[0, 0, 0, 0], epe  # scalars only cross the tunnel
+
+    fn = jax.jit(solve_and_epe)
+    compiled = fn.lower(i0, i1).compile()
+
+    # Warmup: the first execution can be pathologically slow on the tunnel
+    # (program upload + worker-side init); do it twice so timing reps see
+    # steady state.
+    _, epe_dev = compiled(i0, i1)
+    epe = float(epe_dev)
+    s, _ = compiled(i0, i1)
+    _ = float(s)
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        s, _ = compiled(i0, i1)
+        _ = float(s)  # sync
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    return dt, epe
+
+
+def main():
+    import jax
+
     dev = jax.devices()[0]
     platform = dev.platform
 
-    # Production-representative geometry: scale-0.5 strip ROIs are ~150 x
-    # 1000 (SURVEY.md §6); we bench a 256x1024 pair batch to fill the chip.
-    H, W = 256, 1024
-    BATCH = 8
-    params = TVL1Params()  # reference defaults
+    pairs = [make_pair(H, W, DX, DY, seed=i) for i in range(BATCH)]
+    i0_np = np.stack([p[0] for p in pairs])
+    i1_np = np.stack([p[1] for p in pairs])
 
-    dx, dy = 2.0, -1.25
-    pairs = [make_pair(H, W, dx, dy, seed=i) for i in range(BATCH)]
-    i0 = jnp.asarray(np.stack([p[0] for p in pairs]))
-    i1 = jnp.asarray(np.stack([p[1] for p in pairs]))
-
-    solve = jax.jit(jax.vmap(lambda a, b: tvl1_flow(a, b, params)))
-
-    # Compile + warm up (+ force full execution with a readback).
-    flow = solve(i0, i1)
-    _ = float(flow[0, 0, 0, 0])
-
-    # EPE check on the warmup result (interior crop).
-    f = np.asarray(flow[0])
-    m = 16
-    epe = float(
-        np.sqrt(
-            (f[m:-m, m:-m, 0] - dx) ** 2 + (f[m:-m, m:-m, 1] - dy) ** 2
-        ).mean()
-    )
-
-    # Chained timing: R dependent solves, one final sync.
-    R = 5
-    t0 = time.perf_counter()
-    x = i0
-    out = None
-    for _ in range(R):
-        out = solve(x, i1)
-        x = i0 + out[..., 0] * 1e-12
-    _ = float(out[0, 0, 0, 0])
-    dt = (time.perf_counter() - t0) / R
+    last_err = None
+    for attempt in range(ATTEMPTS):
+        try:
+            dt, epe = _measure(i0_np, i1_np)
+            break
+        except Exception as e:  # worker crash/restart: retry from scratch
+            last_err = e
+            print(
+                f"bench attempt {attempt + 1} failed: {e!r}; retrying",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(15)
+    else:
+        raise SystemExit(f"bench failed after {ATTEMPTS} attempts: {last_err!r}")
 
     mp_pairs_per_s = BATCH * (H * W / 1e6) / dt
 
