@@ -5,13 +5,20 @@ per file across cluster nodes, gen_cross_file_list.py:26-27): pairs of the
 same shape are bucketed, padded to a multiple of the mesh's ``pairs`` axis,
 batched with a leading dimension, and solved under one jit with the batch
 sharded across devices. Padding lanes are masked out of the results.
+
+The solve runs under shard_map (not GSPMD sharding annotations): each
+device executes the natively batched solver on its local slice, which is
+required for the Pallas level kernel — XLA cannot partition a pallas_call,
+but shard_map hands each shard its own invocation. Dispatch is pipelined:
+chunk k+1's host->device transfer and solve are issued before chunk k's
+results are read back, overlapping H2D/compute/D2H across chunks.
 """
 
 from __future__ import annotations
 
 import collections
 import functools
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -19,7 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from optflow_tpu.core.config import TVL1Params
-from optflow_tpu.ops.tvl1 import tvl1_flow
+from optflow_tpu.ops.tvl1 import tvl1_flow_batched
 
 
 class PairScheduler:
@@ -30,39 +37,50 @@ class PairScheduler:
         self,
         mesh: Mesh,
         params: TVL1Params = TVL1Params(),
-        max_batch: int = 64,
-        level_solver=None,
+        max_batch: Optional[int] = None,
+        hbm_budget_bytes: int = 8 << 30,
     ):
         self.mesh = mesh
         self.params = params
         self.max_batch = max_batch
-        self.level_solver = level_solver
+        self.hbm_budget_bytes = hbm_budget_bytes
         self._jitted: Dict[Tuple[int, int], object] = {}
 
     @property
     def n_shards(self) -> int:
         return self.mesh.shape["pairs"]
 
+    def _chunk_pairs(self, shape: Tuple[int, int]) -> int:
+        """Pairs per dispatch: the configured cap, else what fits the
+        per-device HBM budget (~40 level-state arrays per pair is a safe
+        envelope for the coarse-to-fine solve + pipelining headroom)."""
+        if self.max_batch is not None:
+            n = self.max_batch
+        else:
+            per_pair = 40 * shape[0] * shape[1] * 4
+            n = max(1, int(self.hbm_budget_bytes // per_pair)) * self.n_shards
+            n = min(n, 256)
+        return -(-n // self.n_shards) * self.n_shards
+
     def _solver_for(self, shape: Tuple[int, int]):
         if shape not in self._jitted:
             params = self.params
-            level_solver = self.level_solver
+            mesh = self.mesh
 
-            def solve_batch(i0s, i1s):
-                return jax.vmap(
-                    lambda a, b: tvl1_flow(
-                        a, b, params, level_solver=level_solver
-                    )
-                )(i0s, i1s)
+            def solve_local(i0s, i1s):
+                # runs per device on its local (n/shards, H, W) slice
+                return tvl1_flow_batched(i0s, i1s, params)
 
-            sharding = NamedSharding(self.mesh, P("pairs", None, None))
-            out_sharding = NamedSharding(
-                self.mesh, P("pairs", None, None, None)
+            sharded = jax.shard_map(
+                solve_local,
+                mesh=mesh,
+                in_specs=(P("pairs"), P("pairs")),
+                out_specs=P("pairs"),
+                check_vma=False,  # solver loop carries mix replicated/varying
             )
-            self._jitted[shape] = jax.jit(
-                solve_batch,
-                in_shardings=(sharding, sharding),
-                out_shardings=out_sharding,
+            self._jitted[shape] = (
+                jax.jit(sharded),
+                NamedSharding(mesh, P("pairs")),
             )
         return self._jitted[shape]
 
@@ -73,7 +91,8 @@ class PairScheduler:
 
         Pairs are grouped by shape; each group is padded up to a multiple
         of the pairs-axis size (zero frames solve to zero flow and are
-        dropped)."""
+        dropped). Chunk dispatches are pipelined: all chunks are enqueued
+        asynchronously before any result is read back."""
         by_shape: Dict[Tuple[int, int], List[int]] = collections.defaultdict(
             list
         )
@@ -83,10 +102,12 @@ class PairScheduler:
 
         results: List[np.ndarray] = [None] * len(pairs)  # type: ignore
         n_sh = self.n_shards
+        in_flight: List[Tuple[List[int], jnp.ndarray]] = []
         for shape, idxs in by_shape.items():
-            solver = self._solver_for(shape)
-            for start in range(0, len(idxs), self.max_batch):
-                chunk = idxs[start : start + self.max_batch]
+            solver, sharding = self._solver_for(shape)
+            chunk_size = self._chunk_pairs(shape)
+            for start in range(0, len(idxs), chunk_size):
+                chunk = idxs[start : start + chunk_size]
                 n = len(chunk)
                 padded = -(-n // n_sh) * n_sh
                 i0s = np.zeros((padded,) + shape, np.float32)
@@ -94,12 +115,16 @@ class PairScheduler:
                 for j, k in enumerate(chunk):
                     i0s[j] = pairs[k][0]
                     i1s[j] = pairs[k][1]
-                sharding = NamedSharding(self.mesh, P("pairs", None, None))
+                # async enqueue; devices start while the host preps the
+                # next chunk
                 flows = solver(
-                    jax.device_put(jnp.asarray(i0s), sharding),
-                    jax.device_put(jnp.asarray(i1s), sharding),
+                    jax.device_put(i0s, sharding),
+                    jax.device_put(i1s, sharding),
                 )
-                flows_np = np.asarray(flows)
-                for j, k in enumerate(chunk):
-                    results[k] = flows_np[j]
+                in_flight.append((chunk, flows))
+
+        for chunk, flows in in_flight:
+            flows_np = np.asarray(flows)
+            for j, k in enumerate(chunk):
+                results[k] = flows_np[j]
         return results

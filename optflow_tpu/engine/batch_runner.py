@@ -38,34 +38,74 @@ from optflow_tpu.sinks.http import make_sink
 from optflow_tpu.utils.metrics import StageTimer
 
 def _batched_solver(h: int, w: int, params: TVL1Params, mode: str, mesh):
-    from optflow_tpu.ops.tvl1 import tvl1_flow
+    """Batched ROI solve + flow post-processing. ``mode`` follows
+    engine.pair._solve_mode; features_* modes take a (N, 2, 3) affine and
+    reproduce solve_wrapper's map composition (src/optflow.cpp:411-443)."""
+    from optflow_tpu.ops.tvl1 import tvl1_flow_batched
+    from optflow_tpu.ops.warp import affine_warp
 
-    def f(i0, i1):
-        flow = tvl1_flow(i0, i1, params)
+    features = mode.startswith("features")
+
+    def f(i0s, i1s, affines):
+        # natively batched (required for the Pallas TPU level kernel —
+        # vmapping its manual-DMA pallas_call is unsupported)
+        flow = tvl1_flow_batched(i0s, i1s, params)
         fx = flow[..., 0]
         fy = flow[..., 1]
         if mode != "displacement":
             mx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
             my = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-        if mode == "map":
+        if features:
+            ax = fx + mx
+            ay = fy + my
+            nx = jax.vmap(affine_warp)(ax, affines)
+            ny = jax.vmap(affine_warp)(ay, affines)
+            if mode == "features_flow":
+                fx, fy = nx - mx, ny - my
+            else:
+                fx, fy = nx, ny
+        elif mode == "map":
             fx, fy = fx + mx, fy + my
-        bg = i1 <= 1.0
+        bg = i1s <= 1.0
         fx = jnp.where(bg, 0.0, fx)
         fy = jnp.where(bg, 0.0, fy)
-        valid = (i0 > 1.0) | (i1 > 1.0)
+        valid = (i0s > 1.0) | (i1s > 1.0)
         return fx, fy, valid
 
     if mesh is None:
-        return jax.jit(jax.vmap(f)), None
+        return jax.jit(f), None
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sharding = NamedSharding(mesh, P("pairs", None, None))
-    jitted = jax.jit(
-        jax.vmap(f),
-        in_shardings=(sharding, sharding),
-        out_shardings=(sharding, sharding, sharding),
+    # shard_map (not GSPMD annotations): each device runs the batched
+    # solver on its local slice of the pairs axis
+    sharded = jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P("pairs"), P("pairs"), P("pairs")),
+        out_specs=(P("pairs"), P("pairs"), P("pairs")),
+        check_vma=False,  # solver loop carries mix replicated/varying
     )
-    return jitted, sharding
+    sharding = NamedSharding(mesh, P("pairs"))
+    return jax.jit(sharded), sharding
+
+
+def _batched_prealigner(h: int, w: int, ftype, orb, surf, mp, mesh):
+    """Batched feature pre-alignment + frame-1 warp: the device equivalent
+    of find_alignment + cv::cuda::warpAffine (src/optflow.cpp:366-377),
+    one dispatch for the whole group."""
+    from optflow_tpu.features.align import find_alignment_batched_device
+    from optflow_tpu.ops.warp import affine_warp
+
+    def f(f0s, f1s):
+        res = find_alignment_batched_device(f1s, f0s, ftype, orb, surf, mp)
+        warped = jax.vmap(affine_warp)(f1s, res.affine)
+        return res.affine, warped, res.n_good, res.enough, res.homo_ok
+
+    # pre-alignment runs unsharded (single dispatch, small outputs); a
+    # pairs-axis shard_map is a straightforward extension once feature
+    # groups exceed a single device's appetite
+    del mesh
+    return jax.jit(f)
 
 
 _batched_cache: Dict[Tuple, object] = {}
@@ -88,24 +128,35 @@ class _Task:
 
 
 def _group_key(im_data, args, frame0, frame1, rois, cfg: JobConfig):
+    from optflow_tpu.features.align import resolve_feature_params
+
     params = TVL1Params.from_config(im_data, args)
     roi_sig = tuple(sorted((k, v) for k, v in rois.items()))
+    features = resolve_features(im_data, args) or any(
+        k == "default" for k in rois
+    )
+    fsig = resolve_feature_params(im_data, args) if features else None
     return (
         frame0.shape,
         frame1.shape,
         params,
         cfg.output_type(im_data),
         roi_sig,
+        features,
+        fsig,
     )
 
 
-def _batchable(im_data, args, frame0, frame1, rois) -> bool:
-    if resolve_features(im_data, args):
-        return False
+def _batchable(im_data, args, frame0, frame1, rois, can_batch_features) -> bool:
     if frame0.shape != frame1.shape:
         return False  # forces the feature path (src/optflow.cpp:366-377)
+    features = resolve_features(im_data, args) or any(
+        k == "default" for k in rois
+    )
+    if features and not can_batch_features:
+        return False  # a custom host aligner can't run inside the batch
     for k, v in rois.items():
-        if k in ("custom_diff", "default") or not isinstance(v, Roi):
+        if k == "custom_diff" or not isinstance(v, Roi):
             return False
     return True
 
@@ -126,6 +177,12 @@ def run_job_batched(
     mesh over all devices is built automatically so group solves shard
     data-parallel (pair_batch is rounded up to a multiple of the axis)."""
     cfg = JobConfig(args)
+    # feature groups batch through the device aligner; a caller-supplied
+    # host aligner (test hook / custom matcher) forces those pairs onto the
+    # sequential path so its behavior is preserved
+    can_batch_features = aligner is None or getattr(
+        aligner, "__name__", ""
+    ) == "default_aligner"
     if pair_batch is None:
         pair_batch = int(args.get("pair_batch", 8))
     if mesh is None and jax.device_count() > 1:
@@ -172,7 +229,9 @@ def run_job_batched(
             if journal:
                 journal.record_flush()
 
-    def post_process(task: _Task, roi_key: str, roi: Roi, fx, fy, valid):
+    def post_process(
+        task: _Task, roi_key: str, roi: Roi, fx, fy, valid, features: bool
+    ):
         im_data = task.im_data
         suffix = "_" + roi_key if roi_key in ("top", "bottom") else ""
         im_data["output_suffix"] = suffix
@@ -187,7 +246,7 @@ def run_job_batched(
                 fx, fy, valid, (roi, roi),
                 npoints=cfg.npoints(im_data),
                 inv_scale=1.0 / scale,
-                features=False,
+                features=features,
                 debug=cfg.debug,
                 point_matches=im_data.get("point_matches"),
             )
@@ -198,8 +257,47 @@ def run_job_batched(
         t0 = tasks[0]
         params = TVL1Params.from_config(t0.im_data, args)
         output_type = cfg.output_type(t0.im_data)
-        mode = _solve_mode(False, output_type)
+        features = resolve_features(t0.im_data, args) or any(
+            k == "default" for k in t0.rois
+        )
+        mode = _solve_mode(features, output_type)
         n_pad = -(-len(tasks) // n_shards) * n_shards
+        fh, fw = t0.frame0.shape
+
+        affines = np.tile(
+            np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32), (n_pad, 1, 1)
+        )
+        frames1 = [t.frame1 for t in tasks]
+        if features:
+            # one device dispatch pre-aligns + warps the whole group
+            # (ref: per-pair find_alignment + warpAffine,
+            # src/optflow.cpp:366-377)
+            from optflow_tpu.features.align import (
+                print_align_warnings,
+                resolve_feature_params,
+            )
+
+            ftype, orb, surf, mp = resolve_feature_params(t0.im_data, args)
+            f0_full = np.zeros((n_pad, fh, fw), np.float32)
+            f1_full = np.zeros((n_pad, fh, fw), np.float32)
+            for j, t in enumerate(tasks):
+                f0_full[j] = t.frame0
+                f1_full[j] = t.frame1
+            prealign = _batched_prealigner(fh, fw, ftype, orb, surf, mp, mesh)
+            with timer.stage("prealign"):
+                aff_d, warped_d, n_good, enough, homo_ok = prealign(
+                    jnp.asarray(f0_full), jnp.asarray(f1_full)
+                )
+                affines = np.asarray(aff_d)
+                warped = np.asarray(warped_d)
+            for j, t in enumerate(tasks):
+                if cfg.debug:
+                    print(f"Number of good features: {int(n_good[j])}")
+                print_align_warnings(
+                    bool(enough[j]), bool(homo_ok[j]), None, False
+                )
+            frames1 = [warped[j] for j in range(len(tasks))]
+
         for roi_key in sorted(t0.rois.keys()):
             roi: Roi = t0.rois[roi_key]  # type: ignore[assignment]
             h, w = roi.shape
@@ -207,21 +305,25 @@ def run_job_batched(
             f1s = np.zeros((n_pad, h, w), np.float32)
             for j, t in enumerate(tasks):
                 f0s[j] = t.frame0[roi.slices()]
-                f1s[j] = t.frame1[roi.slices()]
+                f1s[j] = frames1[j][roi.slices()]
             solver, sharding = _get_batched_solver(h, w, params, mode, mesh)
             a, b = jnp.asarray(f0s), jnp.asarray(f1s)
+            affs = jnp.asarray(affines)
             if sharding is not None:
+                # P("pairs") shards dim 0 for any rank
                 a = jax.device_put(a, sharding)
                 b = jax.device_put(b, sharding)
+                affs = jax.device_put(affs, sharding)
             with timer.stage("solve"):
-                fxs, fys, valids = solver(a, b)
+                fxs, fys, valids = solver(a, b, affs)
                 fxs = np.asarray(fxs)
                 fys = np.asarray(fys)
                 valids = np.asarray(valids)
             with timer.stage("postprocess"):
                 for j, task in enumerate(tasks):
                     post_process(
-                        task, roi_key, roi, fxs[j], fys[j], valids[j]
+                        task, roi_key, roi, fxs[j], fys[j], valids[j],
+                        features,
                     )
         for task in tasks:
             stats["pairs"] += 1
@@ -230,7 +332,7 @@ def run_job_batched(
                 move_pm(task.im_data, args)
                 upload_state["pending"] = True
             if journal:
-                journal.record_pair(pair_key(task.im_data))
+                journal.record_pair(pair_key(task.im_data, args))
             maybe_flush(task.index)
 
     groups: Dict[Tuple, List[_Task]] = {}
@@ -240,7 +342,7 @@ def run_job_batched(
         q = str(im_data["q"])
         scale = cfg.scale(im_data)
         im_data["scale"] = scale
-        if journal and pair_key(im_data) in completed:
+        if journal and pair_key(im_data, args) in completed:
             stats["resumed"] += 1
             continue
         print(f"{p} {q}")
@@ -256,7 +358,7 @@ def run_job_batched(
         rois = resolve_rois(im_data, args, rows, cols)
         im_data["output"] = cfg.output_path(im_data)
 
-        if _batchable(im_data, args, frame0, frame1, rois):
+        if _batchable(im_data, args, frame0, frame1, rois, can_batch_features):
             key = _group_key(im_data, args, frame0, frame1, rois, cfg)
             groups.setdefault(key, []).append(
                 _Task(i, im_data, frame0.copy(), frame1.copy(), rois)
@@ -275,7 +377,7 @@ def run_job_batched(
                 move_pm(im_data, args)
                 upload_state["pending"] = True
             if journal:
-                journal.record_pair(pair_key(im_data))
+                journal.record_pair(pair_key(im_data, args))
             maybe_flush(i)
 
     for tasks in groups.values():

@@ -15,15 +15,33 @@ completions and sink flushes so a rerun skips finished work:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
-from typing import Dict, Optional, Set
+from typing import Dict, Mapping, Optional, Set
 
 
-def pair_key(im_args: Dict) -> str:
-    return "|".join(
+def pair_key(im_args: Dict, args: Optional[Mapping] = None) -> str:
+    """Journal identity of one pair's work.
+
+    Includes the resolved scale and a hash of the effective TV-L1
+    parameters: rerunning a job against the same journal after changing
+    solver params or scale must NOT silently skip pairs — their recorded
+    results were produced by a different solve.
+    """
+    base = "|".join(
         str(im_args.get(k, "")) for k in ("p", "q", "output_name")
     )
+    if args is None:
+        return base
+    from optflow_tpu.core.config import TVL1Params, cfg_get
+
+    scale = cfg_get(im_args, args, "scale", 0.5)
+    params = TVL1Params.from_config(im_args, args)
+    sig = hashlib.sha1(
+        (repr(params) + f"|scale={float(scale):.6g}").encode()
+    ).hexdigest()[:10]
+    return f"{base}|{sig}"
 
 
 class JobJournal:

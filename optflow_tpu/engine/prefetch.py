@@ -13,6 +13,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from optflow_tpu.core.imgio import ImageReadError, read_gray_scaled
+
 
 class PrefetchLoader:
     """Callable loader for runner.FrameCache with background lookahead."""
@@ -55,6 +57,12 @@ class PrefetchLoader:
             job_id = self._native.submit(path, scale)
         try:
             return self._native.wait(job_id)
+        except ImageReadError:
+            # The native decoder covers PNG/JPEG/TIFF; anything it can't
+            # parse falls back to the Python decoder (cv2/PIL) so a format
+            # gap never silently skips a pair — the reference's cv::imread
+            # (src/optflow.cpp:106) accepts whatever OpenCV was built with.
+            return read_gray_scaled(path, scale)
         finally:
             self._fill()
 

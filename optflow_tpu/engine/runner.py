@@ -110,7 +110,7 @@ def run_job(
         q = str(im_data["q"])
         scale = cfg.scale(im_data)
         im_data["scale"] = scale
-        if journal and pair_key(im_data) in completed:
+        if journal and pair_key(im_data, args) in completed:
             stats["resumed"] += 1
             continue
         print(f"{p} {q}")
@@ -144,7 +144,7 @@ def run_job(
             move_pm(im_data, args)
             any_upload_since = True
         if journal:
-            journal.record_pair(pair_key(im_data))
+            journal.record_pair(pair_key(im_data, args))
         if cfg.output_type(im_data) == "random_points":
             if i > last_upload + batch_size:
                 flush()

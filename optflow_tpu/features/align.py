@@ -18,6 +18,12 @@ The returned 2x3 affine maps the first argument's coordinates into the
 second argument's space (the engine calls find_alignment(frame1, frame0),
 src/optflow.cpp:373, then warps frame1 with it).
 
+The whole pipeline — detection, description, matching, RANSAC, sanity
+gates — runs on device inside ONE jitted function with the gates traced
+(identity selected with jnp.where), so a pair costs a single host readback
+and the function vmaps over a batch of pairs
+(:func:`find_alignment_batched_device` — used by the batched job runner).
+
 The reference's SURF pad-to-multiple-of-64 workaround
 (src/features.cpp:70-78) is a CUDA-SURF implementation detail and is not
 needed here.
@@ -25,9 +31,11 @@ needed here.
 
 from __future__ import annotations
 
+import functools
 import sys
-from typing import Mapping
+from typing import Mapping, NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,36 +56,138 @@ from optflow_tpu.features.ransac import find_homography
 IDENTITY = np.array([[1.0, 0, 0], [0, 1.0, 0]], dtype=np.float32)
 
 
-def _detect_describe(im: jnp.ndarray, ftype: int, im_args, args):
-    h, w = im.shape
+class AlignResult(NamedTuple):
+    """Device-side alignment outcome for one pair."""
+
+    affine: jnp.ndarray  # (2, 3) f32 — identity when any gate fired
+    n_good: jnp.ndarray  # () i32 ratio-test survivors
+    enough: jnp.ndarray  # () bool  n_good > 10 (src/features.cpp:130)
+    homo_ok: jnp.ndarray  # () bool homography found & zoom gate passed
+    H: jnp.ndarray  # (3, 3) raw homography (for debug prints)
+
+
+def _detect_capacity(ftype: int, h: int, w: int, orb: OrbParams, surf: SurfParams) -> int:
     if ftype == ORB_TYPE:
-        p = OrbParams.from_config(im_args, args)
-        cap = min(max(int(p.nfeatures), 64), 2048)
+        return min(max(int(orb.nfeatures), 64), 2048)
+    return int(np.clip(surf.keypoints_ratio * h * w, 256, 4096))
+
+
+def _detect_describe_device(im: jnp.ndarray, ftype: int, orb: OrbParams, surf: SurfParams):
+    h, w = im.shape
+    cap = _detect_capacity(ftype, h, w, orb, surf)
+    if ftype == ORB_TYPE:
         kps = fast_keypoints(
             im,
-            fast_threshold=p.fast_threshold,
-            scale_factor=p.scale_factor,
-            nlevels=p.nlevels,
+            fast_threshold=orb.fast_threshold,
+            scale_factor=orb.scale_factor,
+            nlevels=orb.nlevels,
             capacity=cap,
-            edge_threshold=p.edge_threshold,
+            edge_threshold=orb.edge_threshold,
         )
         desc = orb_descriptors(im, kps)
         return kps, desc, True
-    p = SurfParams.from_config(im_args, args)
-    cap = int(np.clip(p.keypoints_ratio * h * w, 256, 4096))
     kps = hessian_keypoints(
         im,
-        hessian_threshold=p.hessian_threshold,
-        n_octaves=p.n_octaves,
-        n_octave_layers=p.n_octave_layers,
+        hessian_threshold=surf.hessian_threshold,
+        n_octaves=surf.n_octaves,
+        n_octave_layers=surf.n_octave_layers,
         capacity=cap,
     )
-    if not p.upright:
+    if not surf.upright:
         from optflow_tpu.features.descriptors import estimate_orientations
 
         kps = kps._replace(angle=estimate_orientations(im, kps))
-    desc = surf_descriptors(im, kps, upright=p.upright)
+    desc = surf_descriptors(im, kps, upright=surf.upright)
     return kps, desc, False
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ftype", "orb", "surf", "mp")
+)
+def find_alignment_device(
+    src: jnp.ndarray,  # (H, W) frame whose coords the affine maps FROM
+    dst: jnp.ndarray,  # (H', W') target coordinate space
+    ftype: int,
+    orb: OrbParams,
+    surf: SurfParams,
+    mp: MatchParams,
+) -> AlignResult:
+    """Whole alignment pipeline on device; no host syncs, vmappable."""
+    kps0, desc0, binary = _detect_describe_device(src, ftype, orb, surf)
+    kps1, desc1, _ = _detect_describe_device(dst, ftype, orb, surf)
+
+    matches = knn_match2(desc0, kps0.valid, desc1, kps1.valid, binary=binary)
+    good = ratio_filter(matches, mp.ratio)
+    n_good = jnp.sum(good).astype(jnp.int32)
+    enough = n_good > 10  # src/features.cpp:130
+
+    p0 = jnp.stack([kps0.x, kps0.y], axis=1)
+    p1 = jnp.stack([kps1.x, kps1.y], axis=1)[matches.idx]
+
+    res = find_homography(
+        p0, p1, good, thresh=float(mp.ransac), method=int(mp.homo)
+    )
+    H = res.H
+    zoom_ok = (
+        (jnp.abs(1.0 - H[0, 0]) <= mp.max_zoom_deviation)
+        & (jnp.abs(1.0 - H[1, 1]) <= mp.max_zoom_deviation)
+    )  # src/features.cpp:134-147
+    homo_ok = res.ok & zoom_ok & jnp.all(jnp.isfinite(H))
+
+    use = enough & homo_ok
+    affine = jnp.where(
+        use, H[0:2, 0:3], jnp.asarray(IDENTITY)
+    ).astype(jnp.float32)
+    return AlignResult(affine, n_good, enough, homo_ok, H)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ftype", "orb", "surf", "mp")
+)
+def find_alignment_batched_device(
+    srcs: jnp.ndarray,  # (N, H, W)
+    dsts: jnp.ndarray,  # (N, H', W')
+    ftype: int,
+    orb: OrbParams,
+    surf: SurfParams,
+    mp: MatchParams,
+) -> AlignResult:
+    """vmapped :func:`find_alignment_device` over a leading pair axis —
+    the batched job runner's pre-alignment (everything is fixed-capacity,
+    so the vmap is a pure batch dimension)."""
+    return jax.vmap(
+        lambda a, b: find_alignment_device(a, b, ftype, orb, surf, mp)
+    )(srcs, dsts)
+
+
+def resolve_feature_params(
+    im_args: Mapping, args: Mapping
+) -> Tuple[int, OrbParams, SurfParams, MatchParams]:
+    """Resolve the static (hashable) parameter bundle for the device
+    aligner from the job config precedence chain."""
+    return (
+        feature_type(im_args, args),
+        OrbParams.from_config(im_args, args),
+        SurfParams.from_config(im_args, args),
+        MatchParams.from_config(im_args, args),
+    )
+
+
+def print_align_warnings(
+    enough: bool, homo_ok: bool, H: np.ndarray, debug: bool
+) -> None:
+    """Reproduce the reference's per-pair stderr/stdout diagnostics
+    (src/features.cpp:134-147,157-166)."""
+    if not enough:
+        print("Not enough matches. Using no transformation")
+        return
+    if not homo_ok:
+        print(
+            "More than twenty percent variance in zoom or no homography "
+            "found, this is probably an error, ignoring the transformation."
+        )
+    if debug:
+        print(H)
 
 
 def find_alignment(
@@ -86,55 +196,27 @@ def find_alignment(
     im_args: Mapping,
     args: Mapping,
 ) -> np.ndarray:
-    """Estimate the 2x3 affine mapping src coordinates into dst space."""
+    """Estimate the 2x3 affine mapping src coordinates into dst space.
+
+    Host-facing wrapper: one device dispatch, one readback (the round-trip
+    pattern the reference's per-stage downloads forced is gone)."""
     debug = bool(args.get("debug", False))
-    ftype = feature_type(im_args, args)
-    mp = MatchParams.from_config(im_args, args)
+    ftype, orb, surf, mp = resolve_feature_params(im_args, args)
 
-    src_j = jnp.asarray(src, jnp.float32)
-    dst_j = jnp.asarray(dst, jnp.float32)
-    kps0, desc0, binary = _detect_describe(src_j, ftype, im_args, args)
-    kps1, desc1, _ = _detect_describe(dst_j, ftype, im_args, args)
-
-    matches = knn_match2(desc0, kps0.valid, desc1, kps1.valid, binary=binary)
-    good = ratio_filter(matches, mp.ratio)
-
-    n_good = int(jnp.sum(good))
-    if debug:
-        print(f"Number of features: {int(jnp.sum(kps0.valid))}")
-        print(f"Number of good features: {n_good}")
-
-    if n_good <= 10:
-        print("Not enough matches. Using no transformation")
-        return IDENTITY.copy()
-
-    p0 = jnp.stack([kps0.x, kps0.y], axis=1)
-    p1_all = jnp.stack([kps1.x, kps1.y], axis=1)
-    p1 = p1_all[matches.idx]
-
-    res = find_homography(
-        p0,
-        p1,
-        good,
-        thresh=float(mp.ransac),
-        method=int(mp.homo),
+    res = find_alignment_device(
+        jnp.asarray(src, jnp.float32),
+        jnp.asarray(dst, jnp.float32),
+        ftype,
+        orb,
+        surf,
+        mp,
     )
-    H = np.asarray(res.H, dtype=np.float64)
-    ok = bool(res.ok)
-
-    if (
-        not ok
-        or abs(1.0 - H[0, 0]) > mp.max_zoom_deviation
-        or abs(1.0 - H[1, 1]) > mp.max_zoom_deviation
-    ):
-        print(
-            "More than twenty percent variance in zoom or no homography "
-            "found, this is probably an error, ignoring the transformation."
-        )
-        if debug:
-            print(H)
-        return IDENTITY.copy()
+    # single host transfer of the full result bundle
+    affine, n_good, enough, homo_ok, H = jax.device_get(res)
 
     if debug:
-        print(H)
-    return H[0:2, 0:3].astype(np.float32)
+        print(f"Number of good features: {int(n_good)}")
+    print_align_warnings(bool(enough), bool(homo_ok), H, debug)
+    if not (bool(enough) and bool(homo_ok)):
+        return IDENTITY.copy()
+    return np.asarray(affine, dtype=np.float32)

@@ -33,6 +33,7 @@
 
 #include <jpeglib.h>
 #include <png.h>
+#include <tiffio.h>
 
 namespace {
 
@@ -119,6 +120,43 @@ bool decode_jpeg(FILE* f, Image* out) {
   return true;
 }
 
+// TIFF (the reference's cv::imread handles TIFF inputs and outputs,
+// src/optflow.cpp:106,482-484). Decoded through the RGBA interface and
+// reduced to BT.601 luma — identical to the 8-bit grayscale conversion
+// cv::imread IMREAD_GRAYSCALE applies (16-bit data is scaled to 8 bits by
+// libtiff's RGBA path, matching OpenCV's behavior for IMREAD_GRAYSCALE).
+bool decode_tiff(const std::string& path, Image* out) {
+  TIFFSetErrorHandler(nullptr);
+  TIFFSetWarningHandler(nullptr);
+  TIFF* tif = TIFFOpen(path.c_str(), "r");
+  if (!tif) return false;
+  uint32_t w = 0, h = 0;
+  TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &w);
+  TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &h);
+  if (w == 0 || h == 0) {
+    TIFFClose(tif);
+    return false;
+  }
+  std::vector<uint32_t> rgba((size_t)w * h);
+  bool ok = TIFFReadRGBAImageOriented(tif, w, h, rgba.data(),
+                                      ORIENTATION_TOPLEFT, 0) != 0;
+  TIFFClose(tif);
+  if (!ok) return false;
+  out->h = (int)h;
+  out->w = (int)w;
+  out->data.resize((size_t)h * w);
+  for (size_t i = 0; i < rgba.size(); ++i) {
+    uint32_t px = rgba[i];
+    float r = (float)TIFFGetR(px);
+    float g = (float)TIFFGetG(px);
+    float b = (float)TIFFGetB(px);
+    // round like OpenCV's fixed-point luma (gray inputs have r==g==b and
+    // must reproduce the exact 8-bit value)
+    out->data[i] = std::nearbyint(0.299f * r + 0.587f * g + 0.114f * b);
+  }
+  return true;
+}
+
 bool decode_file(const std::string& path, Image* out) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return false;
@@ -129,12 +167,15 @@ bool decode_file(const std::string& path, Image* out) {
   }
   rewind(f);
   bool ok = false;
+  bool is_tiff = (magic[0] == 'I' && magic[1] == 'I' && magic[2] == 0x2A) ||
+                 (magic[0] == 'M' && magic[1] == 'M' && magic[3] == 0x2A);
   if (magic[0] == 0x89 && magic[1] == 'P') {
     ok = decode_png(f, out);
   } else if (magic[0] == 0xFF && magic[1] == 0xD8) {
     ok = decode_jpeg(f, out);
   }
   fclose(f);
+  if (is_tiff) ok = decode_tiff(path, out);
   return ok;
 }
 

@@ -194,6 +194,18 @@ def tvl1_flow_level(
     return state.u1, state.u2, state.u3
 
 
+def default_level_solver():
+    """Production per-level solver: the fused VMEM-resident Pallas kernel on
+    real TPU hardware, the (equally XLA-fused but HBM-roundtripping) jnp
+    solver everywhere else. Override per call via ``level_solver`` or
+    globally with OPTFLOW_TPU_DISABLE_PALLAS=1."""
+    from optflow_tpu.ops.tvl1_pallas import pallas_enabled, tvl1_flow_level_pallas
+
+    if pallas_enabled():
+        return tvl1_flow_level_pallas
+    return tvl1_flow_level
+
+
 def tvl1_flow(
     i0: jnp.ndarray,
     i1: jnp.ndarray,
@@ -218,7 +230,7 @@ def tvl1_flow(
       src/optflow.cpp:403-404.
     """
     if level_solver is None:
-        level_solver = tvl1_flow_level
+        level_solver = default_level_solver()
     h, w = i0.shape
     shapes = pyramid_shapes(h, w, params.nscales, params.scale_step)
     i0s = build_pyramid(i0.astype(jnp.float32), shapes)
@@ -243,3 +255,35 @@ def tvl1_flow(
             u3 = resize_bilinear(u3, shapes[s - 1])
 
     return jnp.stack([u1, u2], axis=-1)
+
+
+def tvl1_flow_batched(
+    i0s: jnp.ndarray,  # (N, H, W)
+    i1s: jnp.ndarray,
+    params: TVL1Params = TVL1Params(),
+    init_flow: Optional[jnp.ndarray] = None,  # (N, H, W, 2)
+) -> jnp.ndarray:
+    """Batched coarse-to-fine TV-L1 over a leading pair axis.
+
+    This is the entry every batched caller (pair scheduler, batch runner,
+    bench) must use instead of ``jax.vmap(tvl1_flow)``: on TPU it dispatches
+    to the natively batched Pallas driver (whose kernels carry an explicit
+    batch grid axis — vmapping a manual-DMA pallas_call is not supported),
+    elsewhere it vmaps the jnp solver.
+    """
+    from optflow_tpu.ops.tvl1_pallas import (
+        pallas_enabled,
+        tvl1_flow_batched_pallas,
+    )
+
+    if pallas_enabled() and params.gamma == 0.0:
+        return tvl1_flow_batched_pallas(i0s, i1s, params, init_flow=init_flow)
+    if init_flow is not None:
+        return jax.vmap(
+            lambda a, b, f: tvl1_flow(
+                a, b, params, init_flow=f, level_solver=tvl1_flow_level
+            )
+        )(i0s, i1s, init_flow)
+    return jax.vmap(
+        lambda a, b: tvl1_flow(a, b, params, level_solver=tvl1_flow_level)
+    )(i0s, i1s)

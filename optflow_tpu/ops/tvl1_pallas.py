@@ -1,34 +1,55 @@
-"""Pallas TPU kernel for the TV-L1 inner iteration loop.
+"""Pallas TPU kernels for the TV-L1 inner iteration loop — the framework's
+production hot path.
 
 The hot loop of the whole framework (SURVEY.md §3.1): per pyramid level and
-per warp, up to ``iterations`` (default 300) primal-dual updates over the
-full image. The reference's GPU solver launches separate CUDA kernels per
-update, round-tripping HBM every iteration. Here the entire iteration loop
-runs inside ONE Pallas kernel with all state resident in VMEM — zero HBM
-traffic between iterations — which converts the solve from
-bandwidth-bound to VPU-bound.
+per warp, up to ``iterations`` (default 300, src/optflow.cpp:509) primal-dual
+updates over the full image. The reference's GPU solver launches separate
+CUDA kernels per update (inside cv::cuda::OpticalFlowDual_TVL1,
+src/optflow.cpp:516-520), round-tripping HBM every iteration; the pure-XLA
+level solver in ops/tvl1.py has the same traffic pattern and measures at the
+single-chip HBM roofline. Here the iteration loop runs inside Pallas kernels
+with all state resident in VMEM, converting the solve from bandwidth-bound
+to VPU-bound.
 
-Kernel state (all H x W f32 in VMEM): i1wx, i1wy, grad, rho_c (read-only
-per warp) and u1, u2, p11, p12, p21, p22 (updated in place via
-input/output aliasing). Stencils (forward gradient, backward divergence)
-are built from pltpu.roll plus iota boundary masks. The epsilon stop
-criterion is an in-VMEM reduction checked every iteration, matching the
-reference solver's early exit.
+Design (works at ANY level size, batched over a leading image axis):
 
-The backward warp between iteration blocks stays in XLA (per-pixel gather
-has no efficient Pallas TPU lowering) — it runs warps (5) times per level
-vs. iterations x warps (1500) for the fused loop, so its cost is amortized
-~60x.
+* State per image: 6 mutable arrays (u1, u2, p11, p12, p21, p22) packed as
+  one (6, Hp, Wp) array, plus 3 read-only per-warp arrays (i1wx, i1wy,
+  rho_c) packed as (3, Hp, Wp). |grad I1w|^2 is recomputed on the fly
+  (2 mul + 1 add per px per iteration) instead of stored — VMEM is the
+  scarce resource, not VPU flops.
+* Images are padded to (Hp, Wp) = (multiple of the row block B, multiple of
+  128). Boundary masks inside the kernel use the REAL h x w so padding never
+  changes the numerics: forward gradients are zeroed at/beyond the last real
+  row/col and backward divergence treats the first real row/col as the
+  domain edge, so pad-region values never propagate into real pixels.
+* Grid = (N images, nb row blocks). Each grid step manually DMAs a
+  (B + 2K)-row window (K-row halo each side) of all 9 arrays from HBM into
+  VMEM scratch, runs up to K primal-dual iterations fully in VMEM, and DMAs
+  the B interior rows of the 6 state arrays back out. One primal-dual
+  iteration propagates information at most one pixel (forward-difference
+  dual, backward-difference divergence), so after k <= K iterations the
+  interior rows are bit-identical to a monolithic solve.
+* Single-block levels (nb == 1, no halo) run ALL iterations in one kernel
+  invocation with the reference's per-iteration epsilon early exit
+  (src/optflow.cpp:508) evaluated in-VMEM per image. Multi-block levels run
+  ceil(iterations / K) chunk launches with the epsilon exit checked between
+  chunks on the summed per-block errors (exit granularity K instead of 1;
+  the extra iterations only tighten convergence).
+* The backward warp between iteration chunks stays in XLA (per-pixel gather,
+  ops/warp.py warp_backward) — it runs ``warps`` (5) times per level vs.
+  iterations x warps (1500) for the fused loop.
 
-Falls back to the pure-jnp level solver when the level state would
-overflow VMEM or when gamma != 0 (reference default gamma is 0,
-src/optflow.cpp:511).
+Falls back to the pure-jnp level solver when gamma != 0 (reference default
+gamma=0, src/optflow.cpp:511 — the gamma extension adds a third primal/dual
+set and is not worth kernel VMEM).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import os
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,173 +58,245 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from optflow_tpu.core.config import TVL1Params
+from optflow_tpu.ops.pyramid import build_pyramid, pyramid_shapes, resize_bilinear
 from optflow_tpu.ops.tvl1 import tvl1_flow_level
 from optflow_tpu.ops.warp import centered_gradient, warp_backward
 
-_GRAD_EPS = 1.192092896e-07
+_GRAD_EPS = 1.192092896e-07  # FLT_EPSILON guard (same as ops/tvl1.py)
 
-# VMEM budget for the resident kernel: 10 state arrays + live temporaries.
-# Empirically the compiled kernel allocates ~16 arrays worth of scoped VMEM
-# per grid step; requesting more than ~16 MiB crashes the v5e worker, so
-# levels that would exceed the budget fall back to the (equally XLA-fused)
-# jnp iteration path instead.
-_VMEM_STATE_ARRAYS = 17
-_VMEM_BYTES = 14 * 1024 * 1024
-
-
-def _roll_up(x, axis):
-    """x shifted so out[i] = x[i+1] along axis (pltpu.roll needs shift >= 0,
-    so a -1 shift is expressed as size-1)."""
-    return pltpu.roll(x, x.shape[axis] - 1, axis)
+# --- geometry selection -----------------------------------------------------
+# VMEM per grid step ~= 9 window arrays + elementwise temporaries. The
+# single-block budget is what the whole level's 9 arrays may occupy so that
+# state + temporaries stay under the ~16 MiB/core VMEM (calibrated on v5e).
+_SINGLE_BLOCK_BUDGET = 10 * 1024 * 1024  # bytes for the 9 resident arrays
+_CHUNK_WINDOW_BUDGET = 7 * 1024 * 1024  # bytes for the 9 window arrays
+_VMEM_LIMIT = 128 * 1024 * 1024  # generous cap; real use is far below
+_DEFAULT_K = 24  # halo rows == iterations per chunk in multi-block mode
 
 
-def _iter_kernel(
-    scalar_ref,  # SMEM (4,): l_t, theta, taut, scaled_eps
-    niter_ref,  # SMEM (1,): iteration count
-    i1wx_ref,
-    i1wy_ref,
-    grad_ref,
-    rho_ref,
-    u1_ref,
-    u2_ref,
-    p11_ref,
-    p12_ref,
-    p21_ref,
-    p22_ref,
-    # outputs (aliased to the six state inputs)
-    u1_out,
-    u2_out,
-    p11_out,
-    p12_out,
-    p21_out,
-    p22_out,
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class _Geometry(NamedTuple):
+    hp: int  # padded rows (nb * block)
+    wp: int  # padded cols (multiple of 128)
+    block: int  # interior rows per grid step
+    halo: int  # halo rows each side (== max iterations per chunk)
+    win: int  # block + 2 * halo
+    nb: int  # number of row blocks
+
+
+def _select_geometry(h: int, w: int, k: int = _DEFAULT_K) -> _Geometry:
+    wp = _round_up(w, 128)
+    hp = _round_up(h, 8)
+    if 9 * hp * wp * 4 <= _SINGLE_BLOCK_BUDGET:
+        return _Geometry(hp, wp, hp, 0, hp, 1)
+    # multi-block: largest window under budget, block = win - 2k. Halo and
+    # block must be multiples of 8 (f32 sublane tile) so DMA row offsets are
+    # provably tile-aligned.
+    k = _round_up(k, 8)
+    win_rows = _CHUNK_WINDOW_BUDGET // (9 * wp * 4)
+    win_rows = max(int(win_rows) // 8 * 8, 2 * k + 16)
+    block = win_rows - 2 * k
+    nb = -(-hp // block)
+    block = _round_up(-(-hp // nb), 8)
+    hp = block * nb
+    return _Geometry(hp, wp, block, k, block + 2 * k, nb)
+
+
+# --- kernel -----------------------------------------------------------------
+
+
+def _make_kernel(
+    geo: _Geometry,
+    h: int,
+    w: int,
+    l_t: float,
+    theta: float,
+    taut: float,
+    thresh: float,
 ):
-    l_t = scalar_ref[0]
-    theta = scalar_ref[1]
-    taut = scalar_ref[2]
-    scaled_eps = scalar_ref[3]
-    n_iters = niter_ref[0]
+    """Build the chunk kernel for one level geometry.
 
-    h, w = u1_out.shape
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    first_col = cols == 0
-    last_col = cols == w - 1
-    first_row = rows == 0
-    last_row = rows == h - 1
+    thresh: in-kernel early-exit threshold on the masked sum of squared flow
+    updates (the reference's epsilon * epsilon * h * w); < 0 disables the
+    in-kernel exit (multi-block mode — exit is checked between chunks).
+    """
+    hp, wp, block, halo, win, nb = geo
 
-    i1wx = i1wx_ref[:]
-    i1wy = i1wy_ref[:]
-    grad = grad_ref[:]
-    rho_c = rho_ref[:]
+    def kernel(m_ref, ro_ref, st_ref, out_ref, err_ref, ro_s, st_s, sem_in, sem_out):
+        n = pl.program_id(0)
+        i = pl.program_id(1)
+        # block and halo are multiples of 8 (f32 sublane tile), so every row
+        # offset below is too — but Mosaic's divisibility prover can't see
+        # through the clip, hence the explicit hints.
+        start = pl.multiple_of(jnp.clip(i * block - halo, 0, hp - win), 8)
+        off = pl.multiple_of(i * block - start, 8)  # local interior row 0
+        out_row = pl.multiple_of(i * block, 8)
 
-    def div(p1, p2):
-        # backward differences with zero boundary on the low side
-        dx = p1 - pltpu.roll(p1, 1, 1)
-        dx = jnp.where(first_col, p1, dx)
-        dy = p2 - pltpu.roll(p2, 1, 0)
-        dy = jnp.where(first_row, p2, dy)
-        return dx + dy
-
-    def fwd_grad(u):
-        ux = _roll_up(u, 1) - u
-        ux = jnp.where(last_col, 0.0, ux)
-        uy = _roll_up(u, 0) - u
-        uy = jnp.where(last_row, 0.0, uy)
-        return ux, uy
-
-    def body(carry):
-        n, _ = carry
-        u1 = u1_out[:]
-        u2 = u2_out[:]
-
-        rho = rho_c + i1wx * u1 + i1wy * u2
-        hi_thresh = l_t * grad
-        lo = rho < -hi_thresh
-        hi = rho > hi_thresh
-        fi = -rho / jnp.maximum(grad, _GRAD_EPS)
-        mid_ok = grad > _GRAD_EPS
-        d1 = jnp.where(
-            lo,
-            l_t * i1wx,
-            jnp.where(
-                hi, -l_t * i1wx, jnp.where(mid_ok, fi * i1wx, 0.0)
-            ),
+        cp_ro = pltpu.make_async_copy(
+            ro_ref.at[n, :, pl.ds(start, win), :], ro_s, sem_in.at[0]
         )
-        d2 = jnp.where(
-            lo,
-            l_t * i1wy,
-            jnp.where(
-                hi, -l_t * i1wy, jnp.where(mid_ok, fi * i1wy, 0.0)
-            ),
+        cp_st = pltpu.make_async_copy(
+            st_ref.at[n, :, pl.ds(start, win), :], st_s, sem_in.at[1]
+        )
+        cp_ro.start()
+        cp_st.start()
+        cp_ro.wait()
+        cp_st.wait()
+
+        rows = start + jax.lax.broadcasted_iota(jnp.int32, (win, wp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 1)
+        first_row = rows == 0
+        # all pad rows/cols act as "last": forward differences vanish there,
+        # so roll wrap-around and pad garbage never reach real pixels.
+        last_row = rows >= h - 1
+        first_col = cols == 0
+        last_col = cols >= w - 1
+        err_mask = (
+            (rows >= i * block)
+            & (rows < i * block + block)
+            & (rows < h)
+            & (cols < w)
         )
 
-        u1n = u1 + d1 + theta * div(p11_out[:], p12_out[:])
-        u2n = u2 + d2 + theta * div(p21_out[:], p22_out[:])
+        i1wx = ro_s[0]
+        i1wy = ro_s[1]
+        rho_c = ro_s[2]
 
-        err = jnp.sum((u1n - u1) ** 2 + (u2n - u2) ** 2)
+        def div(p1, p2):
+            # backward differences, zero boundary on the low side
+            dx = p1 - pltpu.roll(p1, 1, 1)
+            dx = jnp.where(first_col, p1, dx)
+            dy = p2 - pltpu.roll(p2, 1, 0)
+            dy = jnp.where(first_row, p2, dy)
+            return dx + dy
 
-        u1_out[:] = u1n
-        u2_out[:] = u2n
+        def fwd_grad(u):
+            # forward differences, zero at (and beyond) the far real border
+            ux = pltpu.roll(u, wp - 1, 1) - u
+            ux = jnp.where(last_col, 0.0, ux)
+            uy = pltpu.roll(u, win - 1, 0) - u
+            uy = jnp.where(last_row, 0.0, uy)
+            return ux, uy
 
-        u1x, u1y = fwd_grad(u1n)
-        u2x, u2y = fwd_grad(u2n)
-        ng1 = 1.0 + taut * jnp.sqrt(u1x * u1x + u1y * u1y)
-        ng2 = 1.0 + taut * jnp.sqrt(u2x * u2x + u2y * u2y)
-        p11_out[:] = (p11_out[:] + taut * u1x) / ng1
-        p12_out[:] = (p12_out[:] + taut * u1y) / ng1
-        p21_out[:] = (p21_out[:] + taut * u2x) / ng2
-        p22_out[:] = (p22_out[:] + taut * u2y) / ng2
-        return n + 1, err
+        m = m_ref[0]
 
-    def cond(carry):
-        n, err = carry
-        return (n < n_iters) & (err > scaled_eps)
+        def body(carry):
+            it, _ = carry
+            u1 = st_s[0]
+            u2 = st_s[1]
+            grad = i1wx * i1wx + i1wy * i1wy  # recomputed: saves a VMEM array
+            rho = rho_c + i1wx * u1 + i1wy * u2
+            hi_t = l_t * grad
+            lo = rho < -hi_t
+            hi = rho > hi_t
+            fi = -rho / jnp.maximum(grad, _GRAD_EPS)
+            mid_ok = grad > _GRAD_EPS
+            d1 = jnp.where(
+                lo, l_t * i1wx,
+                jnp.where(hi, -l_t * i1wx, jnp.where(mid_ok, fi * i1wx, 0.0)),
+            )
+            d2 = jnp.where(
+                lo, l_t * i1wy,
+                jnp.where(hi, -l_t * i1wy, jnp.where(mid_ok, fi * i1wy, 0.0)),
+            )
+            u1n = u1 + d1 + theta * div(st_s[2], st_s[3])
+            u2n = u2 + d2 + theta * div(st_s[4], st_s[5])
+            err = jnp.sum(
+                jnp.where(err_mask, (u1n - u1) ** 2 + (u2n - u2) ** 2, 0.0)
+            )
+            st_s[0] = u1n
+            st_s[1] = u2n
+            u1x, u1y = fwd_grad(u1n)
+            u2x, u2y = fwd_grad(u2n)
+            ng1 = 1.0 + taut * jnp.sqrt(u1x * u1x + u1y * u1y)
+            ng2 = 1.0 + taut * jnp.sqrt(u2x * u2x + u2y * u2y)
+            st_s[2] = (st_s[2] + taut * u1x) / ng1
+            st_s[3] = (st_s[3] + taut * u1y) / ng1
+            st_s[4] = (st_s[4] + taut * u2x) / ng2
+            st_s[5] = (st_s[5] + taut * u2y) / ng2
+            return it + 1, err
 
-    # state inputs are aliased to outputs; nothing to copy first
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(jnp.inf)))
+        def cond(carry):
+            it, err = carry
+            return (it < m) & (err > thresh)
+
+        _, err_final = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.float32(jnp.inf))
+        )
+        err_ref[n, i] = err_final
+
+        cp_out = pltpu.make_async_copy(
+            st_s.at[:, pl.ds(off, block), :],
+            out_ref.at[n, :, pl.ds(out_row, block), :],
+            sem_out,
+        )
+        cp_out.start()
+        cp_out.wait()
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "interpret"))
-def _iteration_block(
-    i1wx,
-    i1wy,
-    grad,
-    rho_c,
-    u1,
-    u2,
-    p11,
-    p12,
-    p21,
-    p22,
-    l_t: jnp.ndarray,
-    theta: jnp.ndarray,
-    taut: jnp.ndarray,
-    scaled_eps: jnp.ndarray,
-    n_iters: int,
+@functools.partial(
+    jax.jit,
+    static_argnames=("geo", "h", "w", "l_t", "theta", "taut", "thresh", "interpret"),
+)
+def _run_chunk(
+    ro: jnp.ndarray,  # (N, 3, Hp, Wp) f32: i1wx, i1wy, rho_c
+    state: jnp.ndarray,  # (N, 6, Hp, Wp) f32: u1, u2, p11, p12, p21, p22
+    m: jnp.ndarray,  # () int32: iterations to run this chunk
+    geo: _Geometry,
+    h: int,
+    w: int,
+    l_t: float,
+    theta: float,
+    taut: float,
+    thresh: float,
     interpret: bool = False,
 ):
-    h, w = u1.shape
-    scalars = jnp.stack([l_t, theta, taut, scaled_eps]).astype(jnp.float32)
-    niter = jnp.array([n_iters], jnp.int32)
-    out_shapes = [jax.ShapeDtypeStruct((h, w), jnp.float32)] * 6
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    return pl.pallas_call(
-        _iter_kernel,
-        out_shape=tuple(out_shapes),
-        in_specs=[smem, smem] + [vmem] * 10,
-        out_specs=tuple([vmem] * 6),
-        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4, 11: 5},
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BYTES,
+    n = ro.shape[0]
+    kernel = _make_kernel(geo, h, w, l_t, theta, taut, thresh)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    new_state, errs = pl.pallas_call(
+        kernel,
+        grid=(n, geo.nb),
+        out_shape=(
+            jax.ShapeDtypeStruct(state.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n, geo.nb), jnp.float32),
         ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            any_spec,
+            any_spec,
+        ],
+        out_specs=(
+            any_spec,
+            # whole (N, nb) scalar table in SMEM; each grid step writes its
+            # own [n, i] cell (a (1,1)-blocked spec trips the TPU lowering's
+            # divisibility check for N > 1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, geo.win, geo.wp), jnp.float32),
+            pltpu.VMEM((6, geo.win, geo.wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(scalars, niter, i1wx, i1wy, grad, rho_c, u1, u2, p11, p12, p21, p22)
+    )(m.reshape(1).astype(jnp.int32), ro, state)
+    return new_state, errs
 
 
-def _fits_vmem(h: int, w: int) -> bool:
-    return _VMEM_STATE_ARRAYS * h * w * 4 <= _VMEM_BYTES
+def _pad_hw(x: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
+    """Zero-pad the trailing two dims of (..., H, W) to (hp, wp)."""
+    h, w = x.shape[-2], x.shape[-1]
+    if h == hp and w == wp:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 2) + [(0, hp - h), (0, wp - w)]
+    return jnp.pad(x, cfg)
 
 
 def _on_tpu() -> bool:
@@ -211,6 +304,120 @@ def _on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except RuntimeError:  # pragma: no cover
         return False
+
+
+def pallas_enabled() -> bool:
+    """Production default: the Pallas path is on whenever the backend is a
+    real TPU (CPU tests use the XLA path; interpret mode is opt-in via the
+    ``interpret`` kwarg). OPTFLOW_TPU_DISABLE_PALLAS=1 forces the XLA path."""
+    if os.environ.get("OPTFLOW_TPU_DISABLE_PALLAS", "") == "1":
+        return False
+    return _on_tpu()
+
+
+def tvl1_flow_level_pallas_batched(
+    i0: jnp.ndarray,  # (N, H, W) f32
+    i1: jnp.ndarray,
+    u1: jnp.ndarray,
+    u2: jnp.ndarray,
+    params: TVL1Params,
+    u3: Optional[jnp.ndarray] = None,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched per-level TV-L1 solve with the fused Pallas iteration kernel.
+
+    Matches ops.tvl1.tvl1_flow_level semantics (dual state zeroed at level
+    entry, persists across the ``warps`` re-linearizations; epsilon early
+    exit). Falls back to the vmapped jnp solver when gamma != 0.
+    """
+    n, h, w = i0.shape
+    if params.gamma != 0.0:
+        sol = jax.vmap(
+            lambda a, b, x, y, z: tvl1_flow_level(a, b, x, y, params, u3=z)
+        )
+        if u3 is None:
+            u3 = jnp.zeros_like(u1)
+        return sol(i0, i1, u1, u2, u3)
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    geo = _select_geometry(h, w)
+    l_t = float(params.lambda_ * params.theta)
+    theta = float(params.theta)
+    taut = float(params.tau / params.theta)
+    scaled_eps = float(params.epsilon * params.epsilon * h * w)
+    use_eps = params.epsilon > 0
+
+    if u3 is None:
+        u3 = jnp.zeros_like(u1)
+
+    grad_fn = jax.vmap(centered_gradient)
+    warp_fn = jax.vmap(warp_backward)
+    i1x, i1y = grad_fn(i1)
+
+    state = _pad_hw(
+        jnp.concatenate(
+            [u1[:, None], u2[:, None], jnp.zeros((n, 4, h, w), jnp.float32)],
+            axis=1,
+        ),
+        geo.hp,
+        geo.wp,
+    )
+
+    run = functools.partial(
+        _run_chunk,
+        geo=geo,
+        h=h,
+        w=w,
+        l_t=l_t,
+        theta=theta,
+        taut=taut,
+        interpret=interpret,
+    )
+
+    for _ in range(params.warps):
+        u1c = state[:, 0, :h, :w]
+        u2c = state[:, 1, :h, :w]
+        _, i1wx, i1wy, _, rho_c = warp_fn(i0, i1, i1x, i1y, u1c, u2c)
+        ro = _pad_hw(jnp.stack([i1wx, i1wy, rho_c], axis=1), geo.hp, geo.wp)
+
+        if geo.nb == 1:
+            # whole level resident: all iterations in one launch, per-image
+            # in-kernel epsilon exit (exactly the reference's criterion)
+            state, _ = run(
+                ro,
+                state,
+                jnp.int32(params.iterations),
+                thresh=scaled_eps if use_eps else -1.0,
+            )
+        else:
+            k = geo.halo
+            n_chunks = -(-params.iterations // k)
+
+            def chunk_body(carry):
+                ci, st, _ = carry
+                m = jnp.minimum(k, params.iterations - ci * k)
+                st2, errs = run(ro, st, m, thresh=-1.0)
+                return ci + 1, st2, jnp.max(jnp.sum(errs, axis=1))
+
+            if use_eps:
+                def chunk_cond(carry):
+                    ci, _, err = carry
+                    return (ci < n_chunks) & (err > scaled_eps)
+
+                _, state, _ = jax.lax.while_loop(
+                    chunk_cond,
+                    chunk_body,
+                    (jnp.int32(0), state, jnp.float32(jnp.inf)),
+                )
+            else:
+                def fori_body(ci, st):
+                    _, st2, _ = chunk_body((ci, st, jnp.float32(jnp.inf)))
+                    return st2
+
+                state = jax.lax.fori_loop(0, n_chunks, fori_body, state)
+
+    return state[:, 0, :h, :w], state[:, 1, :h, :w], u3
 
 
 def tvl1_flow_level_pallas(
@@ -222,47 +429,58 @@ def tvl1_flow_level_pallas(
     u3=None,
     interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Drop-in replacement for ops.tvl1.tvl1_flow_level using the fused
-    VMEM-resident iteration kernel. Falls back to the jnp solver when the
-    level doesn't fit or gamma is active."""
-    h, w = i0.shape
-    if params.gamma != 0.0 or not _fits_vmem(h, w):
-        return tvl1_flow_level(i0, i1, u1, u2, params, u3=u3)
-    if interpret is None:
-        interpret = not _on_tpu()
+    """Drop-in replacement for ops.tvl1.tvl1_flow_level (single image) using
+    the fused VMEM-resident iteration kernel."""
+    if u3 is not None:
+        u3 = u3[None]
+    a, b, c = tvl1_flow_level_pallas_batched(
+        i0[None], i1[None], u1[None], u2[None], params, u3=u3,
+        interpret=interpret,
+    )
+    return a[0], b[0], c[0]
 
-    l_t = jnp.float32(params.lambda_ * params.theta)
-    theta = jnp.float32(params.theta)
-    taut = jnp.float32(params.tau / params.theta)
-    if params.epsilon > 0:
-        scaled_eps = jnp.float32(params.epsilon * params.epsilon * h * w)
+
+def tvl1_flow_batched_pallas(
+    i0s: jnp.ndarray,  # (N, H, W)
+    i1s: jnp.ndarray,
+    params: TVL1Params = TVL1Params(),
+    init_flow: Optional[jnp.ndarray] = None,  # (N, H, W, 2)
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Full coarse-to-fine TV-L1 flow, natively batched over the leading
+    axis, with the Pallas level solver. Mirrors ops.tvl1.tvl1_flow
+    (src/optflow.cpp:516-520 semantics) without an outer vmap so the
+    pallas_call keeps its own explicit batch grid axis."""
+    n, h, w = i0s.shape
+    shapes = pyramid_shapes(h, w, params.nscales, params.scale_step)
+    resize = jax.vmap(resize_bilinear, in_axes=(0, None))
+
+    i0p = [i0s.astype(jnp.float32)]
+    i1p = [i1s.astype(jnp.float32)]
+    for shape in shapes[1:]:
+        i0p.append(resize(i0p[-1], shape))
+        i1p.append(resize(i1p[-1], shape))
+
+    coarsest = shapes[-1]
+    if params.use_initial_flow and init_flow is not None:
+        u1 = init_flow[..., 0]
+        u2 = init_flow[..., 1]
+        for shape in shapes[1:]:
+            u1 = resize(u1, shape) * params.scale_step
+            u2 = resize(u2, shape) * params.scale_step
     else:
-        scaled_eps = jnp.float32(-1.0)  # never triggers: run all iterations
+        u1 = jnp.zeros((n,) + coarsest, jnp.float32)
+        u2 = jnp.zeros((n,) + coarsest, jnp.float32)
+    u3 = jnp.zeros((n,) + coarsest, jnp.float32)
 
-    i1x, i1y = centered_gradient(i1)
-    zeros = jnp.zeros_like(i0)
-    p11 = p12 = p21 = p22 = zeros
-    if u3 is None:
-        u3 = zeros
-
-    for _ in range(params.warps):
-        _, i1wx, i1wy, grad, rho_c = warp_backward(i0, i1, i1x, i1y, u1, u2)
-        u1, u2, p11, p12, p21, p22 = _iteration_block(
-            i1wx,
-            i1wy,
-            grad,
-            rho_c,
-            u1,
-            u2,
-            p11,
-            p12,
-            p21,
-            p22,
-            l_t,
-            theta,
-            taut,
-            scaled_eps,
-            params.iterations,
-            interpret,
+    inv = 1.0 / params.scale_step
+    for s in range(len(shapes) - 1, -1, -1):
+        u1, u2, u3 = tvl1_flow_level_pallas_batched(
+            i0p[s], i1p[s], u1, u2, params, u3=u3, interpret=interpret
         )
-    return u1, u2, u3
+        if s > 0:
+            u1 = resize(u1, shapes[s - 1]) * inv
+            u2 = resize(u2, shapes[s - 1]) * inv
+            u3 = resize(u3, shapes[s - 1])
+
+    return jnp.stack([u1, u2], axis=-1)

@@ -79,13 +79,47 @@ def test_batched_random_points_sink(tmp_path, rng):
         assert len(r["matches"]["w"]) == 6
 
 
-def test_batched_fallback_for_features(tmp_path, rng):
-    """Pairs with features enabled take the sequential path."""
+def test_batched_features_pairs_batch(tmp_path, rng):
+    """Features-enabled pairs run through the batched path (device
+    pre-alignment), matching the sequential path with the default aligner.
+    Production job generation enables features near column boundaries
+    (ref: gen_cross_file_list.py:33-41), so this is the production-relevant
+    batch shape."""
+    from optflow_tpu.engine.features_glue import default_aligner
+
     paths = _write_pairs(tmp_path, rng, n_pairs=2)
-    job = _job(tmp_path, paths, tmp_path, features=2,
-               hessianThreshold=1e9)  # gate will fall back to identity
-    stats = run_job_batched(job, pair_batch=4)
+    d_bat = tmp_path / "bat"
+    d_seq = tmp_path / "seq"
+    d_bat.mkdir()
+    d_seq.mkdir()
+    job_b = _job(tmp_path, paths, d_bat, features=2)
+    stats = run_job_batched(job_b, pair_batch=4)
+    assert stats["batched"] == 2 and stats["sequential"] == 0
+
+    from optflow_tpu.engine.runner import run_job
+
+    job_s = _job(tmp_path, paths, d_seq, features=2)
+    run_job(job_s, aligner=default_aligner)
+    for i in range(2):
+        a = read_float_tiff(str(d_bat / f"n{i}_1.00_top_x.tiff"))
+        b = read_float_tiff(str(d_seq / f"n{i}_1.00_top_x.tiff"))
+        assert np.allclose(a, b, atol=1e-3), f"features pair {i} diverged"
+
+
+def test_batched_custom_aligner_forces_sequential(tmp_path, rng):
+    """A caller-supplied host aligner can't run inside the batch; features
+    pairs fall back to the sequential path where it is honored."""
+    calls = []
+
+    def my_aligner(f1, f0, im_args, args):
+        calls.append(1)
+        return np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32)
+
+    paths = _write_pairs(tmp_path, rng, n_pairs=2)
+    job = _job(tmp_path, paths, tmp_path, features=2)
+    stats = run_job_batched(job, pair_batch=4, aligner=my_aligner)
     assert stats["sequential"] == 2 and stats["batched"] == 0
+    assert len(calls) == 2
 
 
 def test_batched_mixed_params_group_separately(tmp_path, rng):

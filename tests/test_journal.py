@@ -76,7 +76,7 @@ def test_run_job_partial_resume(tmp_path, rng):
     job = _make_job(tmp_path, rng)
     # simulate a crash after one pair: pre-populate the journal
     j = JobJournal(job["journal"])
-    j.record_pair(pair_key(job["images"][0]))
+    j.record_pair(pair_key(job["images"][0], job))
     j.close()
     stats = run_job(dict(job))
     assert stats["resumed"] == 1
@@ -90,3 +90,16 @@ def test_run_job_timing_stats(tmp_path, rng):
     t = stats["timing"]
     assert t["decode_s"] >= 0 and t["solve_s"] > 0
     assert t["pairs_per_s"] > 0
+
+
+def test_pair_key_invalidated_by_params_and_scale():
+    """Changing solver params or scale must change the journal key, so a
+    rerun with different settings re-solves instead of silently skipping."""
+    im = {"p": "a", "q": "b", "output_name": "n"}
+    k1 = pair_key(im, {"scale": 0.5})
+    k2 = pair_key(im, {"scale": 0.25})
+    k3 = pair_key(im, {"scale": 0.5, "iterations": 100})
+    k4 = pair_key(im, {"scale": 0.5})
+    assert k1 == k4
+    assert len({k1, k2, k3}) == 3
+    assert k1.startswith("a|b|n|")

@@ -1,13 +1,24 @@
-"""Parity tests: the Pallas fused level solver must match the jnp solver
-(interpret mode on CPU)."""
+"""Parity tests for the Pallas fused level solver (interpret mode on CPU).
+
+The production kernel (ops/tvl1_pallas.py) must match the jnp level solver
+exactly in single-block mode and in the row-block chunked mode used for
+levels that exceed the VMEM budget. Hardware behavior is exercised
+separately by tools_perf_compare.py / bench.py on the TPU.
+"""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
 from optflow_tpu.core.config import TVL1Params
 from optflow_tpu.ops.tvl1 import tvl1_flow, tvl1_flow_level
-from optflow_tpu.ops.tvl1_pallas import tvl1_flow_level_pallas
+from optflow_tpu.ops import tvl1_pallas as tp
+from optflow_tpu.ops.tvl1_pallas import (
+    tvl1_flow_level_pallas,
+    tvl1_flow_level_pallas_batched,
+    _select_geometry,
+)
 from tests.conftest import make_fibsem_like
 from tests.test_tvl1 import mean_epe, translate
 
@@ -29,7 +40,8 @@ def test_level_parity_with_jnp(rng):
 
 
 def test_level_parity_epsilon_early_exit(rng):
-    """With epsilon > 0 both solvers take the same early exit."""
+    """With epsilon > 0 both solvers take the same per-iteration early exit
+    (single-block mode evaluates it in-kernel)."""
     im0 = make_fibsem_like(rng, 32, 40)
     im1 = translate(im0, 0.5, 0.0)
     params = TVL1Params(nscales=1, warps=1, iterations=100, epsilon=0.05)
@@ -59,11 +71,69 @@ def test_full_pyramid_with_pallas_levels(rng):
     assert mean_epe(flow, 1.5, 1.0) < 0.3
 
 
-def test_vmem_fallback_for_large_levels(rng):
-    """A level larger than the VMEM budget silently uses the jnp solver."""
-    from optflow_tpu.ops import tvl1_pallas as tp
+def test_multiblock_chunked_parity(rng, monkeypatch):
+    """Row-block chunked mode (halo-overlapped K-iteration chunks) is
+    bit-identical to the monolithic jnp solve with eps=0: one primal-dual
+    iteration propagates at most one pixel, so a K-row halo makes the
+    interior of every block exact."""
+    monkeypatch.setattr(tp, "_SINGLE_BLOCK_BUDGET", 200 * 1024)
+    monkeypatch.setattr(tp, "_CHUNK_WINDOW_BUDGET", 150 * 1024)
+    monkeypatch.setattr(tp, "_DEFAULT_K", 8)
+    geo = _select_geometry(96, 144, k=8)
+    assert geo.nb > 1 and geo.halo == 8
 
-    h = w = 2048  # 16 arrays x 16 MiB >> budget
-    assert not tp._fits_vmem(h, w)
-    # small fits
-    assert tp._fits_vmem(128, 256)
+    im0 = make_fibsem_like(rng, 96, 144)
+    im1 = translate(im0, 2.0, 0.0)
+    params = TVL1Params(nscales=1, warps=2, iterations=24, epsilon=0.0)
+    u = jnp.zeros((96, 144), jnp.float32)
+    a1, a2, _ = tvl1_flow_level(jnp.asarray(im0), jnp.asarray(im1), u, u, params)
+    b1, b2, _ = tvl1_flow_level_pallas(
+        jnp.asarray(im0), jnp.asarray(im1), u, u, params, interpret=True
+    )
+    # interior is exact up to fp reassociation (integer-shift fixtures give
+    # bit-identical results; cubic-interpolated fixtures differ at ~1e-5)
+    assert float(jnp.abs(a1 - b1).max()) < 1e-4
+    assert float(jnp.abs(a2 - b2).max()) < 1e-4
+
+
+def test_batched_level_parity(rng):
+    """The native batch axis matches a vmap of the jnp solver."""
+    im0 = make_fibsem_like(rng, 40, 56)
+    ims0 = jnp.stack([jnp.asarray(im0)] * 2)
+    ims1 = jnp.stack(
+        [jnp.asarray(translate(im0, 1.0, 0.0)), jnp.asarray(translate(im0, 0.0, 1.0))]
+    )
+    params = TVL1Params(nscales=1, warps=1, iterations=20, epsilon=0.0)
+    u = jnp.zeros((2, 40, 56), jnp.float32)
+    a = jax.vmap(lambda x, y, s, t: tvl1_flow_level(x, y, s, t, params))(
+        ims0, ims1, u, u
+    )
+    b = tvl1_flow_level_pallas_batched(ims0, ims1, u, u, params, interpret=True)
+    assert np.allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-5)
+    assert np.allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-5)
+
+
+def test_geometry_selection():
+    # production strip level fits in one block (zero halo overhead)
+    g = _select_geometry(256, 1024)
+    assert g.nb == 1 and g.halo == 0 and g.wp == 1024
+    # a full-section level falls back to row blocks with 8-aligned halos
+    g = _select_geometry(2048, 2048)
+    assert g.nb > 1
+    assert g.halo % 8 == 0 and g.block % 8 == 0
+    assert g.hp == g.nb * g.block and g.hp >= 2048
+    # window honors the VMEM budget
+    assert 9 * g.win * g.wp * 4 <= tp._CHUNK_WINDOW_BUDGET
+
+
+def test_gamma_falls_back_to_jnp(rng):
+    im0 = make_fibsem_like(rng, 32, 40)
+    im1 = translate(im0, 1.0, 0.0)
+    params = TVL1Params(nscales=1, warps=1, iterations=10, gamma=0.5)
+    u = jnp.zeros((32, 40), jnp.float32)
+    a1, a2, a3 = tvl1_flow_level(jnp.asarray(im0), jnp.asarray(im1), u, u, params)
+    b1, b2, b3 = tvl1_flow_level_pallas(
+        jnp.asarray(im0), jnp.asarray(im1), u, u, params, interpret=True
+    )
+    assert np.allclose(np.asarray(a1), np.asarray(b1), atol=1e-6)
+    assert np.allclose(np.asarray(a3), np.asarray(b3), atol=1e-6)

@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""One-off perf experiment: jnp level solver vs Pallas fused kernel on TPU.
+"""Perf experiment: jnp level solver vs Pallas fused kernel on TPU.
 
 Times the full coarse-to-fine TV-L1 at bench shapes (batch x 256 x 1024,
-reference defaults) for:
-  a) the pure-XLA level solver (current bench path)
-  b) the Pallas VMEM-resident iteration kernel (current VMEM budget)
+reference defaults, bench-style textured inputs so the epsilon early exit
+behaves like production) for:
+  a) the pure-XLA level solver (HBM-roundtripping per iteration)
+  b) the Pallas VMEM-resident iteration kernel (production TPU path)
 Prints one JSON line per variant. Scalar-only readbacks.
 """
 
@@ -23,27 +24,30 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bench import make_pair, DX, DY
     from optflow_tpu.core.config import TVL1Params
-    from optflow_tpu.ops.tvl1 import tvl1_flow
-    from optflow_tpu.ops.tvl1_pallas import tvl1_flow_level_pallas
+    from optflow_tpu.ops.tvl1 import tvl1_flow, tvl1_flow_level
+    from optflow_tpu.ops.tvl1_pallas import tvl1_flow_batched_pallas
 
     params = TVL1Params()
-    rng = np.random.default_rng(0)
-    i0 = jnp.asarray(rng.random((BATCH, H, W), dtype=np.float32) * 255.0)
-    i1 = jnp.asarray(rng.random((BATCH, H, W), dtype=np.float32) * 255.0)
+    pairs = [make_pair(H, W, DX, DY, seed=i) for i in range(BATCH)]
+    i0 = jnp.asarray(np.stack([p[0] for p in pairs]))
+    i1 = jnp.asarray(np.stack([p[1] for p in pairs]))
 
-    variants = {
-        "xla": None,
-        "pallas": tvl1_flow_level_pallas,
-    }
+    def run_xla(a, b):
+        flow = jax.vmap(
+            lambda x, y: tvl1_flow(x, y, params, level_solver=tvl1_flow_level)
+        )(a, b)
+        return flow[0, 0, 0, 0]
+
+    def run_pallas(a, b):
+        flow = tvl1_flow_batched_pallas(a, b, params)
+        return flow[0, 0, 0, 0]
+
+    variants = {"xla": run_xla, "pallas": run_pallas}
     which = sys.argv[1:] or list(variants)
     for name in which:
-        ls = variants[name]
-
-        def fn(a, b):
-            flow = jax.vmap(lambda x, y: tvl1_flow(x, y, params, level_solver=ls))(a, b)
-            return flow[0, 0, 0, 0]
-
+        fn = variants[name]
         try:
             t0 = time.perf_counter()
             compiled = jax.jit(fn).lower(i0, i1).compile()
