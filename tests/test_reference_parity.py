@@ -1,0 +1,94 @@
+"""Numerical parity vs an independent TV-L1 reference implementation.
+
+The driver's correctness target (BASELINE.md) is mean EPE <= 0.5 px
+against the reference solver's flow at its tuned defaults
+(/root/reference/src/optflow.cpp:503-512). This environment has no
+cv::optflow module, so the comparison runs against tests/reference_tvl1.py
+— an independent NumPy/SciPy implementation of the published IPOL
+algorithm the OpenCV solver follows (provenance documented there). It
+shares no code with optflow_tpu (scipy cubic warping vs the production
+truncated-cubic kernel, separate pyramid, plain NumPy loop), so agreement
+here pins the algorithm + discretization, and a drift in either
+implementation fails the test.
+
+Fixtures cover the two production regimes: textured FIB-SEM-like content
+and a resin-background strip (mostly-dark frame with a textured band),
+both under smooth synthetic deformation.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.ndimage as ndi
+
+from optflow_tpu.core.config import TVL1Params
+from optflow_tpu.ops.tvl1 import tvl1_flow
+from tests.conftest import make_fibsem_like
+from tests.reference_tvl1 import tvl1_reference
+
+# reference defaults (src/optflow.cpp:503-512) with a CI-sized pyramid:
+# 96x128 fixtures support ~5 levels at scaleStep 0.8 before the 16 px
+# floor, so nscales=10 and nscales=5 trace identical level sets.
+REF = dict(
+    tau=0.25, lambda_=0.05, theta=0.3, nscales=10, warps=5,
+    epsilon=0.01, iterations=300, scale_step=0.8,
+)
+
+
+def _deform(im, dx, dy, gx=0.0):
+    """Translate + optional smooth shear so the flow isn't constant."""
+    h, w = im.shape
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    fx = dx + gx * (ys / h - 0.5) * 4.0
+    fy = np.full_like(ys, dy)
+    warped = ndi.map_coordinates(
+        im, [ys - fy, xs - fx], order=3, mode="nearest"
+    ).astype(np.float32)
+    return warped, fx.astype(np.float32), fy.astype(np.float32)
+
+
+def _epe(flow, oracle, margin=8):
+    d = flow[margin:-margin, margin:-margin] - oracle[margin:-margin, margin:-margin]
+    return float(np.sqrt((d ** 2).sum(-1)).mean())
+
+
+@pytest.mark.parametrize("dx,dy,gx", [(2.0, -1.0, 0.0), (1.3, 0.7, 1.5)])
+def test_parity_textured(rng, dx, dy, gx):
+    im0 = make_fibsem_like(rng, 96, 128)
+    im1, _, _ = _deform(im0, dx, dy, gx)
+    oracle = tvl1_reference(im0, im1, **REF)
+    flow = np.asarray(
+        tvl1_flow(jnp.asarray(im0), jnp.asarray(im1), TVL1Params())
+    )
+    epe = _epe(flow, oracle)
+    assert epe <= 0.5, f"EPE vs reference solver = {epe:.3f} px"
+
+
+def test_parity_resin_background(rng):
+    """Mostly-dark resin frame with one textured band — the content regime
+    the reference's lambda=0.05 tuning targets (README.md: 'Sparse is too
+    iffy on resin')."""
+    im0 = np.full((96, 128), 0.5, np.float32)  # resin: below the 1.0 mask
+    band = make_fibsem_like(rng, 40, 128)
+    im0[28:68, :] = band
+    im1, _, _ = _deform(im0, 1.5, -0.8)
+    oracle = tvl1_reference(im0, im1, **REF)
+    flow = np.asarray(
+        tvl1_flow(jnp.asarray(im0), jnp.asarray(im1), TVL1Params())
+    )
+    # compare inside the textured band where the data term is active
+    d = flow[32:64, 8:-8] - oracle[32:64, 8:-8]
+    epe = float(np.sqrt((d ** 2).sum(-1)).mean())
+    assert epe <= 0.5, f"resin EPE vs reference solver = {epe:.3f} px"
+
+
+def test_oracle_recovers_known_flow(rng):
+    """Sanity: the oracle itself recovers a known translation, so parity
+    isn't two broken solvers agreeing."""
+    im0 = make_fibsem_like(rng, 96, 128)
+    im1, fx, fy = _deform(im0, 2.0, -1.0)
+    oracle = tvl1_reference(im0, im1, **REF)
+    err = np.sqrt(
+        (oracle[8:-8, 8:-8, 0] - 2.0) ** 2 + (oracle[8:-8, 8:-8, 1] + 1.0) ** 2
+    ).mean()
+    assert err < 0.25, f"oracle EPE vs ground truth = {err:.3f}"
