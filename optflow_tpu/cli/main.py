@@ -12,7 +12,64 @@ import argparse
 import sys
 
 
+def _align_main(argv) -> int:
+    """``optflow align <matches.jsonl>`` — global stack alignment from an
+    accumulated match store (the in-process replacement for the external
+    solve the reference delegates to Render, SURVEY.md §1)."""
+    parser = argparse.ArgumentParser(
+        prog="optflow align",
+        description="global stack alignment from a JSONL match store",
+    )
+    parser.add_argument("matches", help="JSONL match store (engine sink output)")
+    parser.add_argument("--model", choices=("translation", "affine"),
+                        default="affine")
+    parser.add_argument("--solver", choices=("zblock", "cg"), default="zblock",
+                        help="zblock: direct Schur solve (banded-z graphs); "
+                        "cg: edge-sharded conjugate gradient")
+    parser.add_argument("--block-sections", type=int, default=256)
+    parser.add_argument("--out", default="transforms.json",
+                        help="output JSON: {groupId: 2x3 affine rows}")
+    ns = parser.parse_args(argv)
+
+    import json
+
+    from optflow_tpu.sinks.store import JsonlMatchSink
+
+    matches = JsonlMatchSink(ns.matches).read_all()
+    if ns.solver == "zblock":
+        from optflow_tpu.align.zblock import solve_zblock_alignment
+
+        res = solve_zblock_alignment(
+            matches, model=ns.model, block_sections=ns.block_sections
+        )
+    else:
+        if ns.model == "affine":
+            from optflow_tpu.align.global_solve import solve_affine_alignment
+
+            res = solve_affine_alignment(matches)
+        else:
+            from optflow_tpu.align.global_solve import (
+                solve_translation_alignment,
+            )
+
+            res = solve_translation_alignment(matches)
+
+    out = {
+        g: res.transforms[i].tolist() for i, g in enumerate(res.group_ids)
+    }
+    with open(ns.out, "w") as f:
+        json.dump({"model": ns.model, "residual_rms_px": res.residual,
+                   "transforms": out}, f, indent=1)
+    print(f"aligned {len(res.group_ids)} sections, "
+          f"rms residual {res.residual:.4f} px -> {ns.out}")
+    return 0
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "align":
+        return _align_main(argv[1:])
     parser = argparse.ArgumentParser(
         prog="optflow",
         description="TPU-native dense optical flow over image-pair job files",

