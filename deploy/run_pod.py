@@ -31,11 +31,17 @@ def main(argv=None) -> int:
     parser.add_argument("--rows-axis", type=int, default=1,
                         help="devices per image (spatial tiling); the rest "
                              "go to the pairs axis")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. cpu for the "
+                             "multi-process CPU test harness)")
     ns = parser.parse_args(argv)
 
     import jax
 
     import os
+
+    if ns.platform:
+        jax.config.update("jax_platforms", ns.platform)
 
     if ns.coordinator or ns.num_processes:
         jax.distributed.initialize(
@@ -54,17 +60,25 @@ def main(argv=None) -> int:
     from optflow_tpu.engine.features_glue import default_aligner
 
     args = load_job(ns.filename)
-    # In a multi-process job every host runs the same pair loop; shard the
-    # image list round-robin by process so hosts split the decode work,
-    # while each host's batched solves use its local devices.
+    # Pair solving is embarrassingly parallel (the reference scales the
+    # same way: independent 5000-pair job files, gen_cross_file_list.py:
+    # 26-27). Each host takes a round-robin slice of the image list and
+    # solves it on a mesh over its LOCAL devices — hosts never join a
+    # global jit for the pair loop, so their pair subsets may differ
+    # freely. jax.distributed supplies the rendezvous (and the global mesh
+    # for any subsequent alignment solve, which IS one global program).
     n_proc = jax.process_count()
     pid = jax.process_index()
+    mesh = None
     if n_proc > 1:
+        from optflow_tpu.dist.mesh import make_pair_mesh
+
         args["images"] = args.get("images", [])[pid::n_proc]
         if args.get("journal"):
             args["journal"] = f"{args['journal']}.{pid}"
+        mesh = make_pair_mesh(devices=jax.local_devices())
 
-    stats = run_job_batched(args, aligner=default_aligner)
+    stats = run_job_batched(args, aligner=default_aligner, mesh=mesh)
     print(f"[host {pid}/{n_proc}] done: {stats}")
     return 0
 

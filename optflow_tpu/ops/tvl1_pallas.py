@@ -70,8 +70,18 @@ _GRAD_EPS = 1.192092896e-07  # FLT_EPSILON guard (same as ops/tvl1.py)
 # state + temporaries stay under the ~16 MiB/core VMEM (calibrated on v5e).
 _SINGLE_BLOCK_BUDGET = 10 * 1024 * 1024  # bytes for the 9 resident arrays
 _CHUNK_WINDOW_BUDGET = 7 * 1024 * 1024  # bytes for the 9 window arrays
-_VMEM_LIMIT = 128 * 1024 * 1024  # generous cap; real use is far below
 _DEFAULT_K = 24  # halo rows == iterations per chunk in multi-block mode
+
+
+def _vmem_limit(geo: "_Geometry") -> int:
+    """Per-call VMEM cap: the 9 scratch window arrays plus elementwise
+    temporaries (~6 more arrays' worth) and fixed overhead. Must be TIGHT:
+    an over-generous cap (e.g. a blanket 128 MiB) compiles and runs when a
+    kernel is dispatched alone, but a whole-pyramid program with ~50
+    pallas calls crashes the v5e worker — XLA's scheduler plans around the
+    declared limit."""
+    window = geo.win * geo.wp * 4
+    return 15 * window + (2 << 20)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -284,7 +294,7 @@ def _run_chunk(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit(geo)),
         interpret=interpret,
     )(m.reshape(1).astype(jnp.int32), ro, state)
     return new_state, errs
