@@ -56,8 +56,9 @@ def test_scheduler_mixed_shapes(rng):
 
 
 def test_tiled_matches_monolithic(rng):
-    """Row-sharded halo solve must agree with the monolithic solve away
-    from seams."""
+    """Row-sharded halo solve must agree with the monolithic solve — MAX
+    error over the whole field including the seam rows, not a median that
+    can hide seam artifacts (VERDICT r1 weak #3)."""
     mesh = make_pair_mesh(n_pairs_axis=1, n_rows_axis=4)
     im0 = make_fibsem_like(rng, 128, 96)
     im1 = translate(im0, 1.5, 0.75)
@@ -67,14 +68,29 @@ def test_tiled_matches_monolithic(rng):
     tiled = np.asarray(
         tiled_tvl1_flow(
             jnp.asarray(im0), jnp.asarray(im1), params, mesh,
-            halo=16, axis_name="rows",
+            axis_name="rows",  # default halo from scale_step + max_flow
         )
     )
     assert tiled.shape == (128, 96, 2)
     assert mean_epe(tiled, 1.5, 0.75, margin=10) < 0.4
-    # agreement with monolithic flow in the interior
-    diff = np.abs(tiled - mono)[10:-10, 10:-10]
-    assert float(np.median(diff)) < 0.1
+    # column margin only (the monolithic solve's own lateral boundary
+    # handling applies to both); every row — including seams — must agree
+    diff = np.abs(tiled - mono)[:, 8:-8]
+    assert float(diff.max()) < 0.25, f"max seam error {diff.max():.3f}"
+
+
+def test_default_halo_scaling():
+    """Halo grows with pyramid depth (coarsest-level reach) and max flow,
+    and stays 8-row aligned."""
+    from optflow_tpu.dist.tiled import default_halo
+
+    shallow = default_halo(TVL1Params(nscales=2), max_flow=4.0)
+    deep = default_halo(TVL1Params(nscales=10), max_flow=4.0)
+    big_flow = default_halo(TVL1Params(nscales=10), max_flow=32.0)
+    assert shallow < deep < big_flow
+    assert all(x % 8 == 0 for x in (shallow, deep, big_flow))
+    # reference defaults + FIB-SEM flows: the documented 40 rows
+    assert default_halo(TVL1Params(), max_flow=8.0) == 40
 
 
 def test_tiled_epe_correct(rng):
