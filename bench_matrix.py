@@ -1,0 +1,243 @@
+#!/usr/bin/env python
+"""Bench matrix: the driver's BASELINE.json configs beyond bench.py's
+headline number. Each mode prints one JSON line; results are committed as
+BENCHES_r{N}.jsonl artifacts each round.
+
+Modes:
+  features  — config #3: feature detect+match+RANSAC pre-align feeding
+              TV-L1, batched end-to-end on the default accelerator.
+  roofline  — per-iteration kernel economics at the production strip
+              level: Pallas vs XLA level solver, fixed iteration count,
+              with VPU-flops and HBM-bandwidth utilization estimates.
+  tiled     — config #4 (structure): tiled large-section solve with halo
+              windows on the 8-device virtual CPU mesh; agreement vs the
+              monolithic solve + throughput.
+  scaling   — config #5 (structure): delegates to bench_scaling.py.
+
+Usage: python bench_matrix.py [features roofline tiled scaling] [--out f]
+"""
+
+import json
+import sys
+import time
+
+
+def _emit(rec, out):
+    line = json.dumps(rec)
+    print(line, flush=True)
+    if out:
+        with open(out, "a") as f:
+            f.write(line + "\n")
+
+
+def _pairs(batch, h, w, seed0=0, misalign=True):
+    import numpy as np
+    import scipy.ndimage as ndi
+
+    from bench import make_pair, DX, DY
+
+    i0s, i1s = [], []
+    rng = np.random.default_rng(99)
+    for i in range(batch):
+        a, b = make_pair(h, w, DX, DY, seed=seed0 + i)
+        if misalign:
+            # small rotation+shift the feature pre-alignment must absorb
+            th = rng.uniform(-0.01, 0.01)
+            c, s = np.cos(th), np.sin(th)
+            ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+            cx, cy = w / 2, h / 2
+            sx = c * (xs - cx) + s * (ys - cy) + cx + rng.uniform(-2, 2)
+            sy = -s * (xs - cx) + c * (ys - cy) + cy + rng.uniform(-2, 2)
+            b = ndi.map_coordinates(b, [sy, sx], order=1, mode="nearest")
+        i0s.append(a)
+        i1s.append(b.astype(np.float32))
+    import numpy as np
+
+    return np.stack(i0s), np.stack(i1s)
+
+
+def bench_features(out):
+    """Pre-align (SURF-class detect/describe/match/RANSAC) + warp + TV-L1,
+    batched — BASELINE config #3."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from optflow_tpu.core.config import (
+        MatchParams, OrbParams, SurfParams, SURF_TYPE, TVL1Params,
+    )
+    from optflow_tpu.features.align import find_alignment_batched_device
+    from optflow_tpu.ops.tvl1 import tvl1_flow_batched
+    from optflow_tpu.ops.warp import affine_warp
+
+    H, W, BATCH = 256, 1024, 4
+    params = TVL1Params()
+    orb = OrbParams()
+    surf = SurfParams()
+    mp = MatchParams()
+
+    i0_np, i1_np = _pairs(BATCH, H, W)
+    i0 = jnp.asarray(i0_np)
+    i1 = jnp.asarray(i1_np)
+
+    def fn(a, b):
+        res = find_alignment_batched_device(b, a, SURF_TYPE, orb, surf, mp)
+        warped = jax.vmap(affine_warp)(b, res.affine)
+        flow = tvl1_flow_batched(a, warped, params)
+        return flow[0, 0, 0, 0], jnp.sum(res.n_good)
+
+    compiled = jax.jit(fn).lower(i0, i1).compile()
+    s, g = compiled(i0, i1)
+    _ = float(s)
+    n_good = int(g)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s, _g = compiled(i0, i1)
+        _ = float(s)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    _emit({
+        "metric": "features+TV-L1 MP-pairs/s per chip (BASELINE config #3)",
+        "value": round(BATCH * H * W / 1e6 / dt, 4),
+        "unit": "MP-pairs/s",
+        "vs_baseline": round(BATCH * H * W / 1e6 / dt, 4),
+        "platform": jax.devices()[0].platform,
+        "seconds_per_batch": round(dt, 4),
+        "good_matches_total": n_good,
+        "shape": [BATCH, H, W],
+    }, out)
+
+
+def bench_roofline(out):
+    """Fixed-work per-iteration economics at the production strip level."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import make_pair, DX, DY
+    from optflow_tpu.core.config import TVL1Params
+    from optflow_tpu.ops.tvl1 import tvl1_flow_level
+    from optflow_tpu.ops.tvl1_pallas import tvl1_flow_level_pallas
+
+    H, W = 256, 1024
+    ITER, WARPS = 300, 1
+    p = TVL1Params(iterations=ITER, warps=WARPS, epsilon=0.0)
+    a_np, b_np = make_pair(H, W, DX, DY, seed=0)
+    a, b = jnp.asarray(a_np), jnp.asarray(b_np)
+    u = jnp.zeros((H, W), jnp.float32)
+
+    platform = jax.devices()[0].platform
+    rec = {
+        "metric": "level-solver roofline (256x1024, 300 fixed iterations)",
+        "platform": platform,
+        "px_iterations": H * W * ITER * WARPS,
+    }
+    FLOPS_PER_PX_ITER = 70  # primal+dual updates incl. sqrt/div weights
+    XLA_BYTES_PER_PX_ITER = 16 * 4 * 2  # ~16 state arrays read+written
+
+    for name, solver in (
+        ("xla", tvl1_flow_level),
+        ("pallas", tvl1_flow_level_pallas),
+    ):
+        fn = jax.jit(lambda x, y: solver(x, y, u, u, p)[0].sum())
+        _ = float(fn(a, b))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(fn(a, b))
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+        gflops = rec["px_iterations"] * FLOPS_PER_PX_ITER / dt / 1e9
+        rec[name] = {
+            "seconds": round(dt, 4),
+            "px_iter_per_s_G": round(rec["px_iterations"] / dt / 1e9, 3),
+            "est_vpu_gflops": round(gflops, 1),
+        }
+        if name == "xla":
+            rec[name]["est_hbm_gbs"] = round(
+                rec["px_iterations"] * XLA_BYTES_PER_PX_ITER / dt / 1e9, 1
+            )
+    if "pallas" in rec and "xla" in rec:
+        rec["pallas_speedup"] = round(
+            rec["xla"]["seconds"] / rec["pallas"]["seconds"], 2
+        )
+        rec["value"] = rec["pallas_speedup"]
+        rec["unit"] = "x over XLA level solver"
+        rec["vs_baseline"] = rec["pallas_speedup"]
+    _emit(rec, out)
+
+
+def bench_tiled(out):
+    """Tiled halo solve vs monolithic on the virtual 8-device CPU mesh."""
+    import os
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import make_pair, DX, DY
+    from optflow_tpu.core.config import TVL1Params
+    from optflow_tpu.dist.mesh import make_pair_mesh
+    from optflow_tpu.dist.tiled import default_halo, tiled_tvl1_flow
+    from optflow_tpu.ops.tvl1 import tvl1_flow
+
+    H, W = 512, 512  # a full-section shape, sharded 8 ways by rows
+    p = TVL1Params(nscales=3, warps=2, iterations=50)
+    a_np, b_np = make_pair(H, W, DX, DY, seed=0)
+    a, b = jnp.asarray(a_np), jnp.asarray(b_np)
+    mesh = make_pair_mesh(n_pairs_axis=1, n_rows_axis=8)
+
+    mono = np.asarray(tvl1_flow(a, b, p))
+    t0 = time.perf_counter()
+    tiled = np.asarray(tiled_tvl1_flow(a, b, p, mesh))
+    dt = time.perf_counter() - t0
+    diff = np.abs(tiled - mono)[:, 8:-8]
+    _emit({
+        "metric": "tiled halo solve vs monolithic (BASELINE config #4, virtual mesh)",
+        "value": round(float(diff.max()), 4),
+        "unit": "max |tiled - monolithic| px (every row incl. seams)",
+        "vs_baseline": round(0.25 / max(float(diff.max()), 1e-9), 2),
+        "platform": "cpu-virtual-mesh",
+        "halo_rows": default_halo(p, 8.0, H, W),
+        "seconds": round(dt, 2),
+        "shape": [H, W],
+    }, out)
+
+
+def main():
+    argv = sys.argv[1:]
+    out = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    modes = argv or ["features", "roofline"]
+    for m in modes:
+        if m == "features":
+            bench_features(out)
+        elif m == "roofline":
+            bench_roofline(out)
+        elif m == "tiled":
+            bench_tiled(out)
+        elif m == "scaling":
+            import subprocess
+
+            r = subprocess.run(
+                [sys.executable, "bench_scaling.py"],
+                capture_output=True, text=True,
+            )
+            line = r.stdout.strip().splitlines()[-1] if r.stdout else "{}"
+            _emit(json.loads(line), out)
+        else:
+            print(f"unknown mode {m}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

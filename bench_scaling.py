@@ -38,7 +38,7 @@ def main():
 
     from optflow_tpu.core.config import TVL1Params
     from optflow_tpu.dist.mesh import make_pair_mesh
-    from optflow_tpu.ops.tvl1 import tvl1_flow
+    from optflow_tpu.ops.tvl1 import tvl1_flow_batched
 
     n_dev = len(jax.devices())
     platform = jax.devices()[0].platform
@@ -62,9 +62,16 @@ def main():
         sharding = NamedSharding(mesh, P("pairs", None, None))
         i0 = jax.device_put(i0, sharding)
         i1 = jax.device_put(i1, sharding)
+        # the production path: shard_map over the pairs axis, natively
+        # batched solver per shard (what PairScheduler dispatches)
         solve = jax.jit(
-            jax.vmap(lambda a, b: tvl1_flow(a, b, params)),
-            out_shardings=NamedSharding(mesh, P("pairs", None, None, None)),
+            jax.shard_map(
+                lambda a, b: tvl1_flow_batched(a, b, params),
+                mesh=mesh,
+                in_specs=(P("pairs"), P("pairs")),
+                out_specs=P("pairs"),
+                check_vma=False,
+            )
         )
         out = solve(i0, i1)
         _ = float(out[0, 0, 0, 0])

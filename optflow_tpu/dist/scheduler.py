@@ -62,26 +62,56 @@ class PairScheduler:
             n = min(n, 256)
         return -(-n // self.n_shards) * self.n_shards
 
+    @property
+    def _eager_pallas(self) -> bool:
+        from optflow_tpu.ops.tvl1_pallas import pallas_enabled
+
+        return pallas_enabled() and self.params.gamma == 0.0
+
     def _solver_for(self, shape: Tuple[int, int]):
         if shape not in self._jitted:
             params = self.params
             mesh = self.mesh
 
-            def solve_local(i0s, i1s):
-                # runs per device on its local (n/shards, H, W) slice
-                return tvl1_flow_batched(i0s, i1s, params)
+            if self._eager_pallas:
+                # TPU production: per-device EAGER dispatch. Pure data
+                # parallelism needs no collectives, so each pairs-axis
+                # device just gets its sub-batch placed on it and the
+                # eagerly-orchestrated Pallas solve dispatched there
+                # (tracing the whole pyramid into one shard_map program
+                # would fault the worker — tvl1_pallas._under_trace).
+                pairs_devices = list(mesh.devices[:, 0].flatten())
 
-            sharded = jax.shard_map(
-                solve_local,
-                mesh=mesh,
-                in_specs=(P("pairs"), P("pairs")),
-                out_specs=P("pairs"),
-                check_vma=False,  # solver loop carries mix replicated/varying
-            )
-            self._jitted[shape] = (
-                jax.jit(sharded),
-                NamedSharding(mesh, P("pairs")),
-            )
+                def dispatch(i0s_np, i1s_np):
+                    n = i0s_np.shape[0]
+                    per = n // len(pairs_devices)
+                    outs = []
+                    for d_i, dev in enumerate(pairs_devices):
+                        lo, hi = d_i * per, (d_i + 1) * per
+                        if lo >= n:
+                            break
+                        a = jax.device_put(i0s_np[lo:hi], dev)
+                        b = jax.device_put(i1s_np[lo:hi], dev)
+                        outs.append(tvl1_flow_batched(a, b, params))
+                    return outs
+
+                self._jitted[shape] = (dispatch, None)
+            else:
+                def solve_local(i0s, i1s):
+                    # runs per device on its local (n/shards, H, W) slice
+                    return tvl1_flow_batched(i0s, i1s, params)
+
+                sharded = jax.shard_map(
+                    solve_local,
+                    mesh=mesh,
+                    in_specs=(P("pairs"), P("pairs")),
+                    out_specs=P("pairs"),
+                    check_vma=False,  # loop carries mix replicated/varying
+                )
+                self._jitted[shape] = (
+                    jax.jit(sharded),
+                    NamedSharding(mesh, P("pairs")),
+                )
         return self._jitted[shape]
 
     def solve_pairs(
@@ -102,7 +132,7 @@ class PairScheduler:
 
         results: List[np.ndarray] = [None] * len(pairs)  # type: ignore
         n_sh = self.n_shards
-        in_flight: List[Tuple[List[int], jnp.ndarray]] = []
+        in_flight: List[Tuple[List[int], object]] = []
         for shape, idxs in by_shape.items():
             solver, sharding = self._solver_for(shape)
             chunk_size = self._chunk_pairs(shape)
@@ -117,14 +147,20 @@ class PairScheduler:
                     i1s[j] = pairs[k][1]
                 # async enqueue; devices start while the host preps the
                 # next chunk
-                flows = solver(
-                    jax.device_put(i0s, sharding),
-                    jax.device_put(i1s, sharding),
-                )
+                if sharding is None:  # eager per-device dispatch
+                    flows = solver(i0s, i1s)
+                else:
+                    flows = solver(
+                        jax.device_put(i0s, sharding),
+                        jax.device_put(i1s, sharding),
+                    )
                 in_flight.append((chunk, flows))
 
         for chunk, flows in in_flight:
-            flows_np = np.asarray(flows)
+            if isinstance(flows, list):  # per-device eager sub-batches
+                flows_np = np.concatenate([np.asarray(f) for f in flows])
+            else:
+                flows_np = np.asarray(flows)
             for j, k in enumerate(chunk):
                 results[k] = flows_np[j]
         return results

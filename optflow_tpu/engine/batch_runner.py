@@ -72,6 +72,65 @@ def _batched_solver(h: int, w: int, params: TVL1Params, mode: str, mesh):
         valid = (i0s > 1.0) | (i1s > 1.0)
         return fx, fy, valid
 
+    from optflow_tpu.ops.tvl1_pallas import pallas_enabled
+
+    if pallas_enabled() and params.gamma == 0.0:
+        # TPU production: the pyramid is orchestrated EAGERLY (tracing it
+        # whole puts ~10 distinct Mosaic kernels in one program and faults
+        # the worker — ops/tvl1_pallas._under_trace); only post-processing
+        # is one traced program. Sub-batches round-robin over the mesh's
+        # pairs-axis devices when one is provided (pure DP, no
+        # collectives).
+        def post(flow, i0s, i1s, affines):
+            fx = flow[..., 0]
+            fy = flow[..., 1]
+            if mode != "displacement":
+                mx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+                my = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+            if features:
+                ax = fx + mx
+                ay = fy + my
+                nx = jax.vmap(affine_warp)(ax, affines)
+                ny = jax.vmap(affine_warp)(ay, affines)
+                if mode == "features_flow":
+                    fx, fy = nx - mx, ny - my
+                else:
+                    fx, fy = nx, ny
+            elif mode == "map":
+                fx, fy = fx + mx, fy + my
+            bg = i1s <= 1.0
+            fx = jnp.where(bg, 0.0, fx)
+            fy = jnp.where(bg, 0.0, fy)
+            valid = (i0s > 1.0) | (i1s > 1.0)
+            return fx, fy, valid
+
+        post_j = jax.jit(post)
+        devices = (
+            list(mesh.devices[:, 0].flatten()) if mesh is not None else [None]
+        )
+
+        def eager(i0s, i1s, affines):
+            n = i0s.shape[0]
+            per = -(-n // len(devices))
+            outs = []
+            for d_i, dev in enumerate(devices):
+                lo, hi = d_i * per, min((d_i + 1) * per, n)
+                if lo >= hi:
+                    break
+                a, b, af = i0s[lo:hi], i1s[lo:hi], affines[lo:hi]
+                if dev is not None:
+                    a = jax.device_put(a, dev)
+                    b = jax.device_put(b, dev)
+                    af = jax.device_put(af, dev)
+                flow = tvl1_flow_batched(a, b, params)
+                outs.append(post_j(flow, a, b, af))
+            fx = jnp.concatenate([o[0] for o in outs])
+            fy = jnp.concatenate([o[1] for o in outs])
+            valid = jnp.concatenate([o[2] for o in outs])
+            return fx, fy, valid
+
+        return eager, None
+
     if mesh is None:
         return jax.jit(f), None
     from jax.sharding import NamedSharding, PartitionSpec as P

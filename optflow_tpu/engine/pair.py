@@ -56,14 +56,20 @@ Aligner = Callable[[np.ndarray, np.ndarray, Mapping, Mapping], np.ndarray]
 
 @functools.lru_cache(maxsize=256)
 def _roi_solver(h: int, w: int, params: TVL1Params, mode: str):
-    """Jitted per-ROI device pipeline, cached by static shape/params/mode.
+    """Per-ROI device pipeline, cached by static shape/params/mode.
 
     mode: "displacement" | "map" | "features_map" | "features_flow".
     Returns (out_x, out_y, valid_union_mask).
+
+    On TPU the TV-L1 solve is orchestrated EAGERLY (its per-level Pallas
+    chunk loops are individually jitted programs; tracing the whole
+    pyramid into one program puts ~10 distinct Mosaic kernels together,
+    which faults the worker — ops/tvl1_pallas.py:_under_trace) and only
+    the post-processing is traced as one program. Elsewhere the whole
+    pipeline is one jit.
     """
 
-    def f(i0, i1, affine):
-        flow = tvl1_flow(i0, i1, params)
+    def post(flow, i0, i1, affine):
         fx = flow[..., 0]
         fy = flow[..., 1]
         if mode != "displacement":
@@ -86,7 +92,21 @@ def _roi_solver(h: int, w: int, params: TVL1Params, mode: str):
         valid = (i0 > 1.0) | (i1 > 1.0)
         return fx, fy, valid
 
-    return jax.jit(f)
+    from optflow_tpu.ops.tvl1_pallas import pallas_enabled
+
+    if pallas_enabled() and params.gamma == 0.0:
+        post_j = jax.jit(post)
+
+        def f(i0, i1, affine):
+            flow = tvl1_flow(i0, i1, params)  # eager orchestration
+            return post_j(flow, i0, i1, affine)
+
+        return f
+
+    def whole(i0, i1, affine):
+        return post(tvl1_flow(i0, i1, params), i0, i1, affine)
+
+    return jax.jit(whole)
 
 
 @functools.lru_cache(maxsize=64)

@@ -194,14 +194,25 @@ def tvl1_flow_level(
     return state.u1, state.u2, state.u3
 
 
-def default_level_solver():
+def default_level_solver(*example_args):
     """Production per-level solver: the fused VMEM-resident Pallas kernel on
     real TPU hardware, the (equally XLA-fused but HBM-roundtripping) jnp
     solver everywhere else. Override per call via ``level_solver`` or
-    globally with OPTFLOW_TPU_DISABLE_PALLAS=1."""
-    from optflow_tpu.ops.tvl1_pallas import pallas_enabled, tvl1_flow_level_pallas
+    globally with OPTFLOW_TPU_DISABLE_PALLAS=1.
 
-    if pallas_enabled():
+    When the call is being TRACED into an enclosing jit (example_args
+    contain tracers), the XLA solver is selected even on TPU: a
+    whole-pyramid trace would put ~10 distinct Mosaic kernels into one
+    XLA program, which faults the v5e worker (see tvl1_pallas). Production
+    TPU callers orchestrate the solve eagerly instead (engine/pair.py,
+    engine/batch_runner.py, dist/scheduler.py)."""
+    from optflow_tpu.ops.tvl1_pallas import (
+        _under_trace,
+        pallas_enabled,
+        tvl1_flow_level_pallas,
+    )
+
+    if pallas_enabled() and not _under_trace(*example_args):
         return tvl1_flow_level_pallas
     return tvl1_flow_level
 
@@ -230,7 +241,24 @@ def tvl1_flow(
       src/optflow.cpp:403-404.
     """
     if level_solver is None:
-        level_solver = default_level_solver()
+        from optflow_tpu.ops.tvl1_pallas import (
+            _under_trace,
+            pallas_enabled,
+            tvl1_flow_batched_pallas,
+        )
+
+        if (
+            pallas_enabled()
+            and params.gamma == 0.0
+            and not _under_trace(i0, i1, init_flow)
+        ):
+            # eager TPU production path: per-level jitted programs with
+            # the Pallas iteration kernel (see tvl1_pallas._level_fn)
+            flow_init = init_flow[None] if init_flow is not None else None
+            return tvl1_flow_batched_pallas(
+                i0[None], i1[None], params, init_flow=flow_init
+            )[0]
+        level_solver = default_level_solver(i0, i1)
     h, w = i0.shape
     shapes = pyramid_shapes(h, w, params.nscales, params.scale_step)
     i0s = build_pyramid(i0.astype(jnp.float32), shapes)
@@ -272,11 +300,16 @@ def tvl1_flow_batched(
     elsewhere it vmaps the jnp solver.
     """
     from optflow_tpu.ops.tvl1_pallas import (
+        _under_trace,
         pallas_enabled,
         tvl1_flow_batched_pallas,
     )
 
-    if pallas_enabled() and params.gamma == 0.0:
+    if (
+        pallas_enabled()
+        and params.gamma == 0.0
+        and not _under_trace(i0s, i1s)
+    ):
         return tvl1_flow_batched_pallas(i0s, i1s, params, init_flow=init_flow)
     if init_flow is not None:
         return jax.vmap(

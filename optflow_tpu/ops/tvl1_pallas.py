@@ -68,20 +68,27 @@ _GRAD_EPS = 1.192092896e-07  # FLT_EPSILON guard (same as ops/tvl1.py)
 # VMEM per grid step ~= 9 window arrays + elementwise temporaries. The
 # single-block budget is what the whole level's 9 arrays may occupy so that
 # state + temporaries stay under the ~16 MiB/core VMEM (calibrated on v5e).
-_SINGLE_BLOCK_BUDGET = 10 * 1024 * 1024  # bytes for the 9 resident arrays
-_CHUNK_WINDOW_BUDGET = 7 * 1024 * 1024  # bytes for the 9 window arrays
-_DEFAULT_K = 24  # halo rows == iterations per chunk in multi-block mode
+# A single level kernel may keep ~10 MiB of 9-array scratch resident
+# (256x1024 validated on v5e hardware); larger levels run in row-block
+# chunks. The DISTINCT-kernel count per XLA program is the hard
+# constraint: three or more large distinct Mosaic kernels in one program
+# fault the v5e worker (two are fine; same-geometry repeats are fine), so
+# the coarse-to-fine driver buckets all levels onto TWO shared canvases
+# (see _assign_canvases) with the real sizes passed as SMEM scalars.
+_SINGLE_BLOCK_BUDGET = 10 * 1024 * 1024  # 9-array scratch bytes
+_CHUNK_WINDOW_BUDGET = int(2.5 * 1024 * 1024)
+_DEFAULT_K = 8  # halo rows == iterations per chunk in multi-block mode
+_CANVAS_B_BUDGET = int(3.3 * 1024 * 1024)  # scratch cap for the small canvas
 
 
 def _vmem_limit(geo: "_Geometry") -> int:
-    """Per-call VMEM cap: the 9 scratch window arrays plus elementwise
-    temporaries (~6 more arrays' worth) and fixed overhead. Must be TIGHT:
-    an over-generous cap (e.g. a blanket 128 MiB) compiles and runs when a
-    kernel is dispatched alone, but a whole-pyramid program with ~50
-    pallas calls crashes the v5e worker — XLA's scheduler plans around the
-    declared limit."""
+    """Per-call VMEM cap: the 9 scratch window arrays plus Mosaic's
+    elementwise/roll temporaries (~8 more arrays' worth) and fixed
+    overhead, measured against the compiler's 'exceeded scoped vmem'
+    errors (10.5 arrays' worth fails; the dynamic-dims kernel needs ~1.5
+    windows more than the static one did)."""
     window = geo.win * geo.wp * 4
-    return 15 * window + (2 << 20)
+    return 18 * window + (2 << 20)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -115,27 +122,62 @@ def _select_geometry(h: int, w: int, k: int = _DEFAULT_K) -> _Geometry:
     return _Geometry(hp, wp, block, k, block + 2 * k, nb)
 
 
+def _assign_canvases(shapes) -> list:
+    """Map each pyramid level shape to one of (at most) TWO shared kernel
+    canvases: canvas A is the finest level's geometry (it holds every
+    level), canvas B the geometry of the first level whose single-block
+    scratch fits _CANVAS_B_BUDGET (it holds that level and everything
+    coarser). Two canvases bound the distinct-Mosaic-kernel count per
+    program at 2, which the v5e worker tolerates; the padding waste is
+    ~2x VPU work against a ~38x per-iteration advantage."""
+    canvas_a = _select_geometry(*shapes[0])
+    canvas_b = None
+    b_from = len(shapes)
+    for idx, (h, w) in enumerate(shapes):
+        if idx == 0:
+            continue
+        hp = _round_up(h, 8)
+        wp = _round_up(w, 128)
+        if 9 * hp * wp * 4 <= _CANVAS_B_BUDGET:
+            canvas_b = _select_geometry(h, w)
+            b_from = idx
+            break
+    return [
+        canvas_b if (canvas_b is not None and i >= b_from) else canvas_a
+        for i in range(len(shapes))
+    ]
+
+
 # --- kernel -----------------------------------------------------------------
 
 
 def _make_kernel(
     geo: _Geometry,
-    h: int,
-    w: int,
     l_t: float,
     theta: float,
     taut: float,
-    thresh: float,
 ):
-    """Build the chunk kernel for one level geometry.
+    """Build the chunk kernel for one CANVAS geometry.
 
-    thresh: in-kernel early-exit threshold on the masked sum of squared flow
-    updates (the reference's epsilon * epsilon * h * w); < 0 disables the
+    The real image size (h, w) and the early-exit threshold arrive as SMEM
+    scalars, NOT as compile-time constants: every pyramid level that fits
+    a canvas shares ONE kernel binary (levels are padded up to the canvas
+    and masked by the dynamic h/w). This keeps the number of DISTINCT
+    Mosaic kernels per XLA program at <= 2 — three or more large distinct
+    kernels in one program fault the v5e worker (measured; kernels run
+    standalone at any size and in same-geometry groups of any count).
+
+    thresh (SMEM): exit threshold on the masked sum of squared flow
+    updates (the reference's epsilon^2 * h * w); < 0 disables the
     in-kernel exit (multi-block mode — exit is checked between chunks).
     """
     hp, wp, block, halo, win, nb = geo
 
-    def kernel(m_ref, ro_ref, st_ref, out_ref, err_ref, ro_s, st_s, sem_in, sem_out):
+    def kernel(dims_ref, thr_ref, ro_ref, st_ref, out_ref, err_ref, ro_s, st_s, sem_in, sem_out):
+        m = dims_ref[0]
+        h = dims_ref[1]
+        w = dims_ref[2]
+        thresh = thr_ref[0]
         n = pl.program_id(0)
         i = pl.program_id(1)
         # block and halo are multiples of 8 (f32 sublane tile), so every row
@@ -156,20 +198,26 @@ def _make_kernel(
         cp_ro.wait()
         cp_st.wait()
 
-        rows = start + jax.lax.broadcasted_iota(jnp.int32, (win, wp), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 1)
+        # Boundary masks as THIN broadcast vectors — (win, 1) row masks and
+        # (1, wp) column masks, not (win, wp) arrays. Full-window masks
+        # would be persistent VMEM temporaries alive across the whole
+        # iteration loop; several distinct level kernels' persistent
+        # temporaries share one per-program arena and a handful of
+        # full-window masks per kernel blows it (worker fault).
+        rows = start + jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
         first_row = rows == 0
         # all pad rows/cols act as "last": forward differences vanish there,
         # so roll wrap-around and pad garbage never reach real pixels.
         last_row = rows >= h - 1
         first_col = cols == 0
         last_col = cols >= w - 1
-        err_mask = (
-            (rows >= i * block)
-            & (rows < i * block + block)
-            & (rows < h)
-            & (cols < w)
-        )
+        # f32 interior weights; their product broadcasts to (win, wp)
+        # inside the fused err reduction without materializing a mask
+        err_row = (
+            (rows >= i * block) & (rows < i * block + block) & (rows < h)
+        ).astype(jnp.float32)
+        err_col = (cols < w).astype(jnp.float32)
 
         i1wx = ro_s[0]
         i1wy = ro_s[1]
@@ -190,8 +238,6 @@ def _make_kernel(
             uy = pltpu.roll(u, win - 1, 0) - u
             uy = jnp.where(last_row, 0.0, uy)
             return ux, uy
-
-        m = m_ref[0]
 
         def body(carry):
             it, _ = carry
@@ -215,7 +261,7 @@ def _make_kernel(
             u1n = u1 + d1 + theta * div(st_s[2], st_s[3])
             u2n = u2 + d2 + theta * div(st_s[4], st_s[5])
             err = jnp.sum(
-                jnp.where(err_mask, (u1n - u1) ** 2 + (u2n - u2) ** 2, 0.0)
+                ((u1n - u1) ** 2 + (u2n - u2) ** 2) * err_row * err_col
             )
             st_s[0] = u1n
             st_s[1] = u2n
@@ -251,24 +297,32 @@ def _make_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("geo", "h", "w", "l_t", "theta", "taut", "thresh", "interpret"),
+    static_argnames=("geo", "l_t", "theta", "taut", "interpret"),
 )
 def _run_chunk(
     ro: jnp.ndarray,  # (N, 3, Hp, Wp) f32: i1wx, i1wy, rho_c
     state: jnp.ndarray,  # (N, 6, Hp, Wp) f32: u1, u2, p11, p12, p21, p22
     m: jnp.ndarray,  # () int32: iterations to run this chunk
+    h: jnp.ndarray,  # () int32 real rows (dynamic — canvas sharing)
+    w: jnp.ndarray,  # () int32 real cols
+    thresh: jnp.ndarray,  # () f32 exit threshold (< 0 disables)
     geo: _Geometry,
-    h: int,
-    w: int,
     l_t: float,
     theta: float,
     taut: float,
-    thresh: float,
     interpret: bool = False,
 ):
     n = ro.shape[0]
-    kernel = _make_kernel(geo, h, w, l_t, theta, taut, thresh)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    kernel = _make_kernel(geo, l_t, theta, taut)
+    # The big refs MUST be pinned to HBM: with memory_space=ANY, XLA is
+    # free to stack a call's input/output buffers in VMEM, and a program
+    # with several level calls then exhausts the VMEM stack (compile-time
+    # "ran out of memory in memory space vmem" when caught; runtime worker
+    # fault when not). The kernel DMAs its windows HBM->VMEM explicitly.
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    dims = jnp.stack(
+        [m.astype(jnp.int32), h.astype(jnp.int32), w.astype(jnp.int32)]
+    )
     new_state, errs = pl.pallas_call(
         kernel,
         grid=(n, geo.nb),
@@ -278,11 +332,12 @@ def _run_chunk(
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            any_spec,
-            any_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            hbm_spec,
+            hbm_spec,
         ],
         out_specs=(
-            any_spec,
+            hbm_spec,
             # whole (N, nb) scalar table in SMEM; each grid step writes its
             # own [n, i] cell (a (1,1)-blocked spec trips the TPU lowering's
             # divisibility check for N > 1)
@@ -296,7 +351,7 @@ def _run_chunk(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit(geo)),
         interpret=interpret,
-    )(m.reshape(1).astype(jnp.int32), ro, state)
+    )(dims, thresh.reshape(1).astype(jnp.float32), ro, state)
     return new_state, errs
 
 
@@ -325,6 +380,20 @@ def pallas_enabled() -> bool:
     return _on_tpu()
 
 
+def _under_trace(*arrays) -> bool:
+    """True when any argument is a tracer — i.e. we are being traced into
+    an enclosing jit. A whole-pyramid trace puts ~10 DISTINCT Mosaic
+    kernels into ONE XLA program, which crashes the v5e worker at runtime
+    (empirically: any one kernel runs standalone at any size; several
+    same-geometry kernels coexist fine; >=3 large distinct geometries in
+    one program fault — measured on this harness's v5e. Eagerly
+    orchestrated, each level's chunk loop is its own program with exactly
+    one kernel and runs reliably). Callers use this to decide between
+    eager orchestration (TPU production) and traced composition (CPU
+    tests / dryruns, where the kernel falls back to XLA anyway)."""
+    return any(isinstance(a, jax.core.Tracer) for a in arrays)
+
+
 def tvl1_flow_level_pallas_batched(
     i0: jnp.ndarray,  # (N, H, W) f32
     i1: jnp.ndarray,
@@ -333,12 +402,19 @@ def tvl1_flow_level_pallas_batched(
     params: TVL1Params,
     u3: Optional[jnp.ndarray] = None,
     interpret: bool | None = None,
+    canvas: Optional[_Geometry] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched per-level TV-L1 solve with the fused Pallas iteration kernel.
 
     Matches ops.tvl1.tvl1_flow_level semantics (dual state zeroed at level
     entry, persists across the ``warps`` re-linearizations; epsilon early
     exit). Falls back to the vmapped jnp solver when gamma != 0.
+
+    canvas: optional shared kernel geometry to pad this level onto. The
+    coarse-to-fine driver buckets all pyramid levels onto two canvases so
+    one XLA program never holds more than two distinct Mosaic kernels
+    (three or more large distinct kernels fault the v5e worker); the real
+    (h, w) travel to the kernel as SMEM scalars.
     """
     n, h, w = i0.shape
     if params.gamma != 0.0:
@@ -351,7 +427,8 @@ def tvl1_flow_level_pallas_batched(
     if interpret is None:
         interpret = not _on_tpu()
 
-    geo = _select_geometry(h, w)
+    geo = canvas if canvas is not None else _select_geometry(h, w)
+    assert geo.hp >= h and geo.wp >= w, (geo, h, w)
     l_t = float(params.lambda_ * params.theta)
     theta = float(params.theta)
     taut = float(params.tau / params.theta)
@@ -377,13 +454,13 @@ def tvl1_flow_level_pallas_batched(
     run = functools.partial(
         _run_chunk,
         geo=geo,
-        h=h,
-        w=w,
         l_t=l_t,
         theta=theta,
         taut=taut,
         interpret=interpret,
     )
+    h_d = jnp.int32(h)
+    w_d = jnp.int32(w)
 
     for _ in range(params.warps):
         u1c = state[:, 0, :h, :w]
@@ -398,7 +475,9 @@ def tvl1_flow_level_pallas_batched(
                 ro,
                 state,
                 jnp.int32(params.iterations),
-                thresh=scaled_eps if use_eps else -1.0,
+                h_d,
+                w_d,
+                jnp.float32(scaled_eps if use_eps else -1.0),
             )
         else:
             k = geo.halo
@@ -407,7 +486,7 @@ def tvl1_flow_level_pallas_batched(
             def chunk_body(carry):
                 ci, st, _ = carry
                 m = jnp.minimum(k, params.iterations - ci * k)
-                st2, errs = run(ro, st, m, thresh=-1.0)
+                st2, errs = run(ro, st, m, h_d, w_d, jnp.float32(-1.0))
                 return ci + 1, st2, jnp.max(jnp.sum(errs, axis=1))
 
             if use_eps:
@@ -450,6 +529,63 @@ def tvl1_flow_level_pallas(
     return a[0], b[0], c[0]
 
 
+@functools.lru_cache(maxsize=512)
+def _pyramid_fn(n: int, h: int, w: int, nscales: int, scale_step: float,
+                interpret: bool):
+    """Jitted pyramid build for BOTH frames in one dispatch: takes
+    (2N, H, W) stacked frames, returns the tuple of all level arrays."""
+    shapes = pyramid_shapes(h, w, nscales, scale_step)
+    resize = jax.vmap(resize_bilinear, in_axes=(0, None))
+
+    def build(stacked):
+        levels = [stacked.astype(jnp.float32)]
+        for shape in shapes[1:]:
+            levels.append(resize(levels[-1], shape))
+        return tuple(levels)
+
+    return jax.jit(build)
+
+
+@functools.lru_cache(maxsize=512)
+def _group_fn(
+    n: int,
+    shapes: Tuple[Tuple[int, int], ...],  # coarse -> fine within the group
+    up_shape: Optional[Tuple[int, int]],  # next finer level after the group
+    params: TVL1Params,
+    canvas: _Geometry,
+    interpret: bool,
+):
+    """ONE jitted program per CANVAS GROUP of consecutive pyramid levels:
+    every level in the group shares the same canvas, hence the same Mosaic
+    kernel binary — the program contains exactly ONE distinct Pallas
+    kernel, the configuration the v5e worker provably tolerates (multiple
+    DISTINCT kernel geometries in one program fault it; same-geometry
+    repeats are fine). The whole coarse-to-fine solve therefore costs
+    ~3 async dispatches (pyramid build + one per canvas group) instead of
+    one per level, which matters on high-latency host links."""
+
+    resize = jax.vmap(resize_bilinear, in_axes=(0, None))
+    inv = 1.0 / params.scale_step
+
+    def step(level_imgs, u1, u2):
+        # level_imgs: tuple of (2N, h, w) stacked (i0, i1) arrays,
+        # coarse -> fine, matching ``shapes``
+        for idx, stacked in enumerate(level_imgs):
+            u1, u2, _ = tvl1_flow_level_pallas_batched(
+                stacked[:n], stacked[n:], u1, u2, params,
+                interpret=interpret, canvas=canvas,
+            )
+            nxt = (
+                shapes[idx + 1] if idx + 1 < len(shapes) else up_shape
+            )
+            if nxt is not None:
+                u1 = resize(u1, nxt) * inv
+                u2 = resize(u2, nxt) * inv
+        return u1, u2
+
+    return jax.jit(step)
+
+
 def tvl1_flow_batched_pallas(
     i0s: jnp.ndarray,  # (N, H, W)
     i1s: jnp.ndarray,
@@ -460,37 +596,59 @@ def tvl1_flow_batched_pallas(
     """Full coarse-to-fine TV-L1 flow, natively batched over the leading
     axis, with the Pallas level solver. Mirrors ops.tvl1.tvl1_flow
     (src/optflow.cpp:516-520 semantics) without an outer vmap so the
-    pallas_call keeps its own explicit batch grid axis."""
+    pallas_call keeps its own explicit batch grid axis.
+
+    Dispatch structure: one jitted program builds both pyramids, then one
+    jitted program per level (see _level_fn). All dispatches are async, so
+    the chain pipelines over a high-latency host link."""
+    if interpret is None:
+        interpret = not _on_tpu()
     n, h, w = i0s.shape
     shapes = pyramid_shapes(h, w, params.nscales, params.scale_step)
-    resize = jax.vmap(resize_bilinear, in_axes=(0, None))
 
-    i0p = [i0s.astype(jnp.float32)]
-    i1p = [i1s.astype(jnp.float32)]
-    for shape in shapes[1:]:
-        i0p.append(resize(i0p[-1], shape))
-        i1p.append(resize(i1p[-1], shape))
+    build = _pyramid_fn(
+        n, h, w, params.nscales, params.scale_step, interpret
+    )
+    levels = build(jnp.concatenate([i0s, i1s], axis=0))
 
     coarsest = shapes[-1]
     if params.use_initial_flow and init_flow is not None:
-        u1 = init_flow[..., 0]
-        u2 = init_flow[..., 1]
-        for shape in shapes[1:]:
-            u1 = resize(u1, shape) * params.scale_step
-            u2 = resize(u2, shape) * params.scale_step
+        resize = jax.vmap(resize_bilinear, in_axes=(0, None))
+
+        @jax.jit
+        def shrink(f):
+            u1 = f[..., 0]
+            u2 = f[..., 1]
+            for shape in shapes[1:]:
+                u1 = resize(u1, shape) * params.scale_step
+                u2 = resize(u2, shape) * params.scale_step
+            return u1, u2
+
+        u1, u2 = shrink(init_flow)
     else:
         u1 = jnp.zeros((n,) + coarsest, jnp.float32)
         u2 = jnp.zeros((n,) + coarsest, jnp.float32)
-    u3 = jnp.zeros((n,) + coarsest, jnp.float32)
 
-    inv = 1.0 / params.scale_step
-    for s in range(len(shapes) - 1, -1, -1):
-        u1, u2, u3 = tvl1_flow_level_pallas_batched(
-            i0p[s], i1p[s], u1, u2, params, u3=u3, interpret=interpret
+    canvases = _assign_canvases(shapes)
+    # One level per program: a program with one level's 5 same-kernel
+    # calls is hardware-validated; grouping a whole canvas's levels into
+    # one program (35 calls) faulted the worker, so groups stay singleton
+    # until the runtime bug is understood (canvas sharing still dedupes
+    # compilation and keeps any accidental multi-level trace at two
+    # distinct kernels).
+    order = list(range(len(shapes) - 1, -1, -1))
+    groups: list = [(canvases[s], [s]) for s in order]
+    for canvas, idxs in groups:
+        finest = idxs[-1]
+        up_shape = shapes[finest - 1] if finest > 0 else None
+        step = _group_fn(
+            n,
+            tuple(shapes[s] for s in idxs),
+            up_shape,
+            params,
+            canvas,
+            interpret,
         )
-        if s > 0:
-            u1 = resize(u1, shapes[s - 1]) * inv
-            u2 = resize(u2, shapes[s - 1]) * inv
-            u3 = resize(u3, shapes[s - 1])
+        u1, u2 = step(tuple(levels[s] for s in idxs), u1, u2)
 
     return jnp.stack([u1, u2], axis=-1)

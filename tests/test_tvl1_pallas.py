@@ -114,7 +114,7 @@ def test_batched_level_parity(rng):
 
 
 def test_geometry_selection():
-    # production strip level fits in one block (zero halo overhead)
+    # the production strip level is whole-level VMEM-resident
     g = _select_geometry(256, 1024)
     assert g.nb == 1 and g.halo == 0 and g.wp == 1024
     # a full-section level falls back to row blocks with 8-aligned halos
@@ -122,8 +122,22 @@ def test_geometry_selection():
     assert g.nb > 1
     assert g.halo % 8 == 0 and g.block % 8 == 0
     assert g.hp == g.nb * g.block and g.hp >= 2048
-    # window honors the VMEM budget
     assert 9 * g.win * g.wp * 4 <= tp._CHUNK_WINDOW_BUDGET
+
+
+def test_canvas_assignment():
+    """The pyramid buckets onto AT MOST two shared kernel canvases (the
+    v5e worker faults with >=3 large distinct Mosaic kernels in one
+    program), and every level fits its canvas."""
+    from optflow_tpu.ops.pyramid import pyramid_shapes
+    from optflow_tpu.ops.tvl1_pallas import _assign_canvases
+
+    for base in ((256, 1024), (96, 128), (512, 512)):
+        shapes = pyramid_shapes(base[0], base[1], 10, 0.8)
+        canvases = _assign_canvases(shapes)
+        assert len({(c.hp, c.wp, c.block, c.nb) for c in canvases}) <= 2
+        for (h, w), c in zip(shapes, canvases):
+            assert c.hp >= h and c.wp >= w
 
 
 def test_gamma_falls_back_to_jnp(rng):

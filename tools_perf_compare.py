@@ -34,15 +34,17 @@ def main():
     i0 = jnp.asarray(np.stack([p[0] for p in pairs]))
     i1 = jnp.asarray(np.stack([p[1] for p in pairs]))
 
-    def run_xla(a, b):
-        flow = jax.vmap(
+    run_xla = jax.jit(
+        lambda a, b: jax.vmap(
             lambda x, y: tvl1_flow(x, y, params, level_solver=tvl1_flow_level)
-        )(a, b)
-        return flow[0, 0, 0, 0]
+        )(a, b)[0, 0, 0, 0]
+    )
 
     def run_pallas(a, b):
-        flow = tvl1_flow_batched_pallas(a, b, params)
-        return flow[0, 0, 0, 0]
+        # eager orchestration: per-level jitted programs, one distinct
+        # Mosaic kernel each (a whole-pyramid trace faults the worker,
+        # ops/tvl1_pallas._level_fn)
+        return tvl1_flow_batched_pallas(a, b, params)[0, 0, 0, 0]
 
     variants = {"xla": run_xla, "pallas": run_pallas}
     which = sys.argv[1:] or list(variants)
@@ -50,14 +52,13 @@ def main():
         fn = variants[name]
         try:
             t0 = time.perf_counter()
-            compiled = jax.jit(fn).lower(i0, i1).compile()
+            _ = float(fn(i0, i1))  # compiles all programs
             tc = time.perf_counter() - t0
-            _ = float(compiled(i0, i1))
-            _ = float(compiled(i0, i1))
+            _ = float(fn(i0, i1))
             times = []
             for _ in range(REPS):
                 t0 = time.perf_counter()
-                s = compiled(i0, i1)
+                s = fn(i0, i1)
                 _ = float(s)
                 times.append(time.perf_counter() - t0)
             dt = float(np.median(times))
