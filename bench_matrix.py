@@ -80,20 +80,26 @@ def bench_features(out):
     i0 = jnp.asarray(i0_np)
     i1 = jnp.asarray(i1_np)
 
-    def fn(a, b):
+    @jax.jit
+    def prealign(a, b):
         res = find_alignment_batched_device(b, a, SURF_TYPE, orb, surf, mp)
         warped = jax.vmap(affine_warp)(b, res.affine)
-        flow = tvl1_flow_batched(a, warped, params)
-        return flow[0, 0, 0, 0], jnp.sum(res.n_good)
+        return warped, res.n_good
 
-    compiled = jax.jit(fn).lower(i0, i1).compile()
-    s, g = compiled(i0, i1)
+    def fn(a, b):
+        # pre-align jitted; the TV-L1 solve orchestrated eagerly (the TPU
+        # production path — see ops/tvl1_pallas.py)
+        warped, n_good = prealign(a, b)
+        flow = tvl1_flow_batched(a, warped, params)
+        return flow[0, 0, 0, 0], jnp.sum(n_good)
+
+    s, g = fn(i0, i1)
     _ = float(s)
     n_good = int(g)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        s, _g = compiled(i0, i1)
+        s, _g = fn(i0, i1)
         _ = float(s)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
@@ -136,11 +142,13 @@ def bench_roofline(out):
     FLOPS_PER_PX_ITER = 70  # primal+dual updates incl. sqrt/div weights
     XLA_BYTES_PER_PX_ITER = 16 * 4 * 2  # ~16 state arrays read+written
 
-    for name, solver in (
-        ("xla", tvl1_flow_level),
-        ("pallas", tvl1_flow_level_pallas),
-    ):
-        fn = jax.jit(lambda x, y: solver(x, y, u, u, p)[0].sum())
+    xla_fn = jax.jit(lambda x, y: tvl1_flow_level(x, y, u, u, p)[0].sum())
+
+    def pallas_fn(x, y):
+        # eager: the pallas level call is its own jitted program
+        return tvl1_flow_level_pallas(x, y, u, u, p)[0].sum()
+
+    for name, fn in (("xla", xla_fn), ("pallas", pallas_fn)):
         _ = float(fn(a, b))
         times = []
         for _ in range(3):
