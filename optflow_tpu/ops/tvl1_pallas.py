@@ -403,6 +403,7 @@ def tvl1_flow_level_pallas_batched(
     u3: Optional[jnp.ndarray] = None,
     interpret: bool | None = None,
     canvas: Optional[_Geometry] = None,
+    shift_warp: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched per-level TV-L1 solve with the fused Pallas iteration kernel.
 
@@ -415,6 +416,11 @@ def tvl1_flow_level_pallas_batched(
     one XLA program never holds more than two distinct Mosaic kernels
     (three or more large distinct kernels fault the v5e worker); the real
     (h, w) travel to the kernel as SMEM scalars.
+
+    shift_warp: use the shift-compose re-warp (ops/warp.py
+    warp_backward_shift — 25x the gather warp on TPU, |flow| <= 8 px
+    contract). Default: on for real-TPU runs, off in interpret/CPU mode
+    (keeps the bit-parity tests against the jnp solver exact).
     """
     n, h, w = i0.shape
     if params.gamma != 0.0:
@@ -437,9 +443,16 @@ def tvl1_flow_level_pallas_batched(
 
     if u3 is None:
         u3 = jnp.zeros_like(u1)
+    if shift_warp is None:
+        shift_warp = not interpret
 
     grad_fn = jax.vmap(centered_gradient)
-    warp_fn = jax.vmap(warp_backward)
+    if shift_warp:
+        from optflow_tpu.ops.warp import warp_backward_shift
+
+        warp_fn = warp_backward_shift  # natively batched
+    else:
+        warp_fn = jax.vmap(warp_backward)
     i1x, i1y = grad_fn(i1)
 
     state = _pad_hw(

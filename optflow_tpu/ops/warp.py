@@ -201,6 +201,83 @@ def warp_backward(
     return i1w, i1wx, i1wy, grad, rho_c
 
 
+def warp_backward_shift(
+    i0: jnp.ndarray,  # (N, H, W)
+    i1: jnp.ndarray,
+    i1x: jnp.ndarray,
+    i1y: jnp.ndarray,
+    u1: jnp.ndarray,
+    u2: jnp.ndarray,
+    max_shift: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched shift-compose variant of :func:`warp_backward` for flows
+    bounded by ``max_shift`` pixels — the TPU production warp.
+
+    TPU gathers execute near scalar speed (~1.8 GB/s effective measured on
+    v5e: 144 ms per warp sweep at (16, 256, 1024)), and the re-warp runs
+    warps x nscales times per pair, dominating the whole solve once the
+    iteration loop lives in VMEM. With |u| <= S the 2x2 cubic-hat taps can
+    instead be gathered by integer-shift compositing — two passes (x then
+    y) of 2S+2 rolls + masked selects, pure VPU — measured 25x faster
+    (5.7 ms for the same sweep) with mean |delta| ~ 3e-3 on the warped
+    gradients.
+
+    Approximation: the two-pass decomposition evaluates the x-tap column
+    at the SOURCE row rather than the target row, so samples are off by
+    |du1/dy| * |sy| sub-pixels where the flow varies across the y-shift —
+    second-order for TV-L1's TV-regularized fields (it only perturbs the
+    linearization point; the fixpoint is unchanged to first order). Flows
+    beyond ``max_shift`` have their tap addresses clamped to the shift
+    window (graceful degradation; callers honoring the tiled solver's
+    max_flow contract never hit it).
+    """
+    S = int(max_shift)
+    n, h, w = i1.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    x = jnp.clip(xs + u1, 0.0, w - 1.0)
+    y = jnp.clip(ys + u2, 0.0, h - 1.0)
+    x0 = jnp.minimum(jnp.floor(x), w - 2.0)
+    y0 = jnp.minimum(jnp.floor(y), h - 2.0)
+    fx = x - x0
+    fy = y - y0
+    sx = jnp.clip((x0 - xs).astype(jnp.int32), -S, S)
+    sy = jnp.clip((y0 - ys).astype(jnp.int32), -S, S)
+
+    wx0 = _cubic_hat(fx)
+    wx1 = _cubic_hat(1.0 - fx)
+    wy0 = _cubic_hat(fy)
+    wy1 = _cubic_hat(1.0 - fy)
+    inv_norm = 1.0 / ((wx0 + wx1) * (wy0 + wy1))
+
+    packed = jnp.stack([i1, i1x, i1y], axis=1)  # (N, 3, H, W)
+
+    # pass X: A = packed[..., x0], B = packed[..., x0 + 1]
+    A = jnp.zeros_like(packed)
+    B = jnp.zeros_like(packed)
+    for s in range(-S, S + 1):
+        m = (sx == s)[:, None]
+        A = jnp.where(m, jnp.roll(packed, -s, axis=-1), A)
+        B = jnp.where(m, jnp.roll(packed, -(s + 1), axis=-1), B)
+    TX = wx0[:, None] * A + wx1[:, None] * B
+
+    # pass Y: C = TX[:, :, y0, :], D = TX[:, :, y0 + 1, :]
+    C = jnp.zeros_like(TX)
+    D = jnp.zeros_like(TX)
+    for s in range(-S, S + 1):
+        m = (sy == s)[:, None]
+        C = jnp.where(m, jnp.roll(TX, -s, axis=-2), C)
+        D = jnp.where(m, jnp.roll(TX, -(s + 1), axis=-2), D)
+    out = inv_norm[:, None] * (wy0[:, None] * C + wy1[:, None] * D)
+
+    i1w = out[:, 0]
+    i1wx = out[:, 1]
+    i1wy = out[:, 2]
+    grad = i1wx * i1wx + i1wy * i1wy
+    rho_c = i1w - i1wx * u1 - i1wy * u2 - i0
+    return i1w, i1wx, i1wy, grad, rho_c
+
+
 def invert_affine(affine: jnp.ndarray) -> jnp.ndarray:
     """Invert a 2x3 affine matrix (cv::invertAffineTransform)."""
     a, b, tx = affine[0, 0], affine[0, 1], affine[0, 2]

@@ -135,3 +135,69 @@ def test_affine_warp_output_shape(rng):
     out = affine_warp(jnp.asarray(im), ident, out_shape=(12, 10))
     assert out.shape == (12, 10)
     assert np.allclose(np.asarray(out)[:8, :8], im, atol=1e-5)
+
+
+def test_shift_warp_matches_gather_warp(rng):
+    """The shift-compose warp (the TPU production re-warp) agrees with the
+    gather warp on smooth bounded flows: exact where the flow is locally
+    constant across the y-shift, O(|du/dy|) sub-pixel sampling error
+    elsewhere."""
+    import jax
+    import scipy.ndimage as ndi
+
+    from optflow_tpu.ops.warp import (
+        centered_gradient,
+        warp_backward,
+        warp_backward_shift,
+    )
+    from tests.conftest import make_fibsem_like
+
+    n, h, w = 2, 64, 96
+    i0 = jnp.stack([jnp.asarray(make_fibsem_like(rng, h, w)) for _ in range(n)])
+    i1 = jnp.roll(i0, 1, axis=2)
+    i1x, i1y = jax.vmap(centered_gradient)(i1)
+    u1 = jnp.asarray(np.stack([
+        ndi.gaussian_filter(rng.standard_normal((h, w)), 12) * 30
+        for _ in range(n)
+    ]).astype(np.float32))
+    u2 = 0.5 * u1
+    assert float(jnp.abs(u1).max()) < 8.0
+
+    ga = jax.vmap(warp_backward)(i0, i1, i1x, i1y, u1, u2)
+    sh = warp_backward_shift(i0, i1, i1x, i1y, u1, u2)
+    # this fixture's |du/dy| (~1 px/px) is an order beyond TV-L1's
+    # regularized fields, so the max bounds are worst-case envelopes; the
+    # means are the production-relevant agreement measure
+    for k, tol_mean, tol_max in ((0, 0.5, 15.0), (1, 0.08, 2.0), (4, 2.0, 80.0)):
+        d = np.abs(np.asarray(ga[k]) - np.asarray(sh[k]))[:, 9:-9, 9:-9]
+        assert float(d.mean()) < tol_mean, (k, d.mean())
+        assert float(d.max()) < tol_max, (k, d.max())
+    # constant flow: bit-exact (no cross-row flow variation)
+    uc = jnp.full((n, h, w), 1.25, jnp.float32)
+    ga = jax.vmap(warp_backward)(i0, i1, i1x, i1y, uc, -uc)
+    sh = warp_backward_shift(i0, i1, i1x, i1y, uc, -uc)
+    assert np.allclose(np.asarray(ga[0]), np.asarray(sh[0]), atol=1e-5)
+
+
+def test_pallas_flow_with_shift_warp_converges(rng):
+    """Full coarse-to-fine solve with the shift warp recovers a known
+    translation to the same EPE as the gather warp (the end-to-end quality
+    gate for the TPU production configuration)."""
+    from optflow_tpu.core.config import TVL1Params
+    from optflow_tpu.ops.tvl1_pallas import tvl1_flow_level_pallas_batched
+    from tests.conftest import make_fibsem_like
+    from tests.test_tvl1 import translate
+
+    im0 = make_fibsem_like(rng, 64, 96)
+    im1 = translate(im0, 2.0, -1.0)
+    p = TVL1Params(nscales=1, warps=3, iterations=60)
+    u = jnp.zeros((1, 64, 96), jnp.float32)
+    u1, u2, _ = tvl1_flow_level_pallas_batched(
+        jnp.asarray(im0)[None], jnp.asarray(im1)[None], u, u, p,
+        interpret=True, shift_warp=True,
+    )
+    inner = np.s_[0, 8:-8, 8:-8]
+    epe = float(
+        jnp.sqrt((u1[inner] - 2.0) ** 2 + (u2[inner] + 1.0) ** 2).mean()
+    )
+    assert epe < 0.35, epe
