@@ -103,3 +103,30 @@ def test_tiled_epe_correct(rng):
                         halo=16)
     )
     assert mean_epe(tiled, -1.0, 2.0, margin=12) < 0.4
+
+
+def test_scheduler_eager_pallas_dispatch_matches_shard_map(rng, monkeypatch):
+    """The TPU production dispatch (per-device eager, no collectives) must
+    produce the same flows as the shard_map path. CPU CI can't reach it
+    naturally (pallas_enabled() requires real TPU), so it is forced on
+    here with the interpret-mode kernel."""
+    import optflow_tpu.ops.tvl1_pallas as tp
+
+    params = TVL1Params(nscales=2, warps=1, iterations=10)
+    pairs = []
+    for i in range(3):
+        a = make_fibsem_like(rng, 32, 64)
+        pairs.append((a, translate(a, 1.0, 0.0)))
+
+    mesh = make_pair_mesh(n_pairs_axis=2, n_rows_axis=1)
+    ref = PairScheduler(mesh, params).solve_pairs(pairs)
+
+    monkeypatch.setattr(tp, "pallas_enabled", lambda: True)
+    eager_sched = PairScheduler(mesh, params)
+    assert eager_sched._eager_pallas
+    out = eager_sched.solve_pairs(pairs)
+
+    for i in range(3):
+        assert out[i].shape == ref[i].shape
+        # interpret-mode pallas vs jnp: tight agreement
+        assert np.abs(out[i] - ref[i]).max() < 1e-3, i
