@@ -36,9 +36,11 @@ Design (works at ANY level size, batched over a leading image axis):
   ceil(iterations / K) chunk launches with the epsilon exit checked between
   chunks on the summed per-block errors (exit granularity K instead of 1;
   the extra iterations only tighten convergence).
-* The backward warp between iteration chunks stays in XLA (per-pixel gather,
-  ops/warp.py warp_backward) — it runs ``warps`` (5) times per level vs.
-  iterations x warps (1500) for the fused loop.
+* The backward warp between iteration chunks stays in XLA — on TPU as the
+  shift-compose warp (ops/warp.py warp_backward_shift: rolls + masked
+  selects, 25x the gather warp, |flow| <= 8 px contract), elsewhere the
+  gather warp. It runs ``warps`` (5) times per level vs. iterations x
+  warps (1500) for the fused loop.
 
 Falls back to the pure-jnp level solver when gamma != 0 (reference default
 gamma=0, src/optflow.cpp:511 — the gamma extension adds a third primal/dual
