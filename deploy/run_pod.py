@@ -20,6 +20,16 @@ Usage (per host):
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# The script is launched by path (one exec per pod worker), so sys.path[0]
+# is deploy/ — make the checkout importable when the package isn't
+# pip-installed (mirrors the reference container's exec-from-anywhere
+# runscript, singularity/optflow.def:48-49).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def main(argv=None) -> int:

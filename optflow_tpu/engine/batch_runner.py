@@ -29,7 +29,7 @@ import numpy as np
 
 from optflow_tpu.core.config import JobConfig, TVL1Params, cfg_get, resolve_features
 from optflow_tpu.core.imgio import ImageReadError, write_float_tiff
-from optflow_tpu.engine.journal import JobJournal, pair_key
+from optflow_tpu.engine.journal import JobJournal, pair_key, pair_key_aliases
 from optflow_tpu.engine.pair import Aligner, _solve_mode, solve_rois
 from optflow_tpu.engine.rois import Roi, resolve_rois
 from optflow_tpu.engine.runner import FrameCache
@@ -401,7 +401,9 @@ def run_job_batched(
         q = str(im_data["q"])
         scale = cfg.scale(im_data)
         im_data["scale"] = scale
-        if journal and pair_key(im_data, args) in completed:
+        if journal and any(
+            k in completed for k in pair_key_aliases(im_data, args)
+        ):
             stats["resumed"] += 1
             continue
         print(f"{p} {q}")

@@ -44,6 +44,29 @@ def pair_key(im_args: Dict, args: Optional[Mapping] = None) -> str:
     return f"{base}|{sig}"
 
 
+def pair_key_aliases(im_args: Dict, args: Optional[Mapping] = None) -> tuple:
+    """All journal keys under which this pair's work may be recorded.
+
+    First entry is the CURRENT key (what new completions are recorded as).
+    Early journals predate the params/scale signature and recorded the bare
+    ``p|q|output_name`` key; that legacy key is accepted as an alias only
+    when the effective params equal the historical defaults (the only
+    params legacy entries could have been produced under without the job
+    file saying otherwise) — so upgrading the framework never re-solves a
+    default-params job, while a params change still invalidates everything.
+    """
+    key = pair_key(im_args, args)
+    if args is None:
+        return (key,)
+    from optflow_tpu.core.config import TVL1Params, cfg_get
+
+    scale = cfg_get(im_args, args, "scale", 0.5)
+    params = TVL1Params.from_config(im_args, args)
+    if params == TVL1Params() and float(scale) == 0.5:
+        return (key, pair_key(im_args))
+    return (key,)
+
+
 class JobJournal:
     def __init__(self, path: str):
         self.path = path

@@ -67,7 +67,7 @@ def run_job(
     write_outputs: bool = True,
 ) -> Dict:
     """Execute a loaded job dict. Returns stats."""
-    from optflow_tpu.engine.journal import JobJournal, pair_key
+    from optflow_tpu.engine.journal import JobJournal, pair_key, pair_key_aliases
     from optflow_tpu.utils.metrics import StageTimer
 
     cfg = JobConfig(args)
@@ -110,7 +110,9 @@ def run_job(
         q = str(im_data["q"])
         scale = cfg.scale(im_data)
         im_data["scale"] = scale
-        if journal and pair_key(im_data, args) in completed:
+        if journal and any(
+            k in completed for k in pair_key_aliases(im_data, args)
+        ):
             stats["resumed"] += 1
             continue
         print(f"{p} {q}")

@@ -92,6 +92,41 @@ def test_run_job_timing_stats(tmp_path, rng):
     assert t["pairs_per_s"] > 0
 
 
+def test_legacy_journal_keys_resume_under_default_params(tmp_path, rng):
+    """Journals written before the params/scale signature recorded bare
+    p|q|output_name keys. An upgrade must not re-solve a default-params
+    job (ADVICE r2) — the legacy key is accepted as an alias iff the
+    effective params ARE the historical defaults."""
+    from optflow_tpu.engine.journal import pair_key_aliases
+
+    im = {"p": "a", "q": "b", "output_name": "n"}
+    # default params + default scale -> legacy alias accepted
+    assert pair_key_aliases(im, {"scale": 0.5}) == (
+        pair_key(im, {"scale": 0.5}),
+        "a|b|n",
+    )
+    # non-default params -> no alias, legacy entries re-solve
+    assert pair_key_aliases(im, {"iterations": 100}) == (
+        pair_key(im, {"iterations": 100}),
+    )
+    assert pair_key_aliases(im, {"scale": 0.25}) == (
+        pair_key(im, {"scale": 0.25}),
+    )
+
+    # end-to-end: a legacy journal (bare keys) fully resumes a job whose
+    # params are the defaults-with-explicit-default-values
+    job = _make_job(tmp_path, rng)
+    for k in ("nscales", "warps", "iterations"):
+        del job[k]
+    job["scale"] = 0.5
+    j = JobJournal(job["journal"])
+    for im_data in job["images"]:
+        j.record_pair(pair_key(im_data))  # legacy bare key
+    j.close()
+    stats = run_job(dict(job))
+    assert stats["pairs"] == 0 and stats["resumed"] == 3
+
+
 def test_pair_key_invalidated_by_params_and_scale():
     """Changing solver params or scale must change the journal key, so a
     rerun with different settings re-solves instead of silently skipping."""
