@@ -93,11 +93,11 @@ def _detect_describe_device(im: jnp.ndarray, ftype: int, orb: OrbParams, surf: S
         n_octave_layers=surf.n_octave_layers,
         capacity=cap,
     )
-    if not surf.upright:
-        from optflow_tpu.features.descriptors import estimate_orientations
+    from optflow_tpu.features.descriptors import surf_orient_describe
 
-        kps = kps._replace(angle=estimate_orientations(im, kps))
-    desc = surf_descriptors(im, kps, upright=surf.upright)
+    # fused: one gradient-patch extraction feeds orientation + descriptors
+    angles, desc = surf_orient_describe(im, kps, upright=surf.upright)
+    kps = kps._replace(angle=angles)
     return kps, desc, False
 
 

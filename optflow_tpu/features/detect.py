@@ -287,23 +287,29 @@ def _intensity_centroid_angle(
     im: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray, radius: int = 15
 ) -> jnp.ndarray:
     """ORB's intensity-centroid orientation: angle of the patch centroid
-    relative to the corner position."""
-    offs = np.arange(-radius, radius + 1)
+    relative to the corner position. Patches come from the MXU extractor
+    (features.patches) rather than a vmapped per-keypoint gather — the
+    detector centers are integral so the hat weights are exact one-hots."""
+    from optflow_tpu.features.patches import extract_patches
+
+    p = 2 * radius + 1
+    offs = np.arange(-radius, radius + 1, dtype=np.float32)
     oy, ox = np.meshgrid(offs, offs, indexing="ij")
     circle = (ox**2 + oy**2) <= radius**2
-    ox_f = ox[circle].astype(np.float32)
-    oy_f = oy[circle].astype(np.float32)
-    h, w = im.shape
+    wx = jnp.asarray((ox * circle).astype(np.float32))
+    wy = jnp.asarray((oy * circle).astype(np.float32))
 
-    def one(cx, cy):
-        sy = jnp.clip(cy.astype(jnp.int32) + jnp.asarray(oy[circle]), 0, h - 1)
-        sx = jnp.clip(cx.astype(jnp.int32) + jnp.asarray(ox[circle]), 0, w - 1)
-        patch = im[sy, sx]
-        m10 = jnp.sum(patch * jnp.asarray(ox_f))
-        m01 = jnp.sum(patch * jnp.asarray(oy_f))
-        return jnp.arctan2(m01, m10)
-
-    return jax.vmap(one)(xs, ys)
+    pats = extract_patches(
+        im[None],
+        jnp.floor(xs),
+        jnp.floor(ys),
+        jnp.ones_like(xs),
+        p,
+        1.0,
+    )[0]  # (K, P, P)
+    m10 = jnp.sum(pats * wx, axis=(1, 2))
+    m01 = jnp.sum(pats * wy, axis=(1, 2))
+    return jnp.arctan2(m01, m10)
 
 
 @functools.partial(
