@@ -108,6 +108,10 @@ def _measure(i0_np, i1_np):
 def main():
     import jax
 
+    from optflow_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     dev = jax.devices()[0]
     platform = dev.platform
 

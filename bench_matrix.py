@@ -220,6 +220,9 @@ def bench_tiled(out):
 
 
 def main():
+    from optflow_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     argv = sys.argv[1:]
     out = None
     if "--out" in argv:

@@ -50,6 +50,9 @@ def main(argv=None) -> int:
 
     import os
 
+    from optflow_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if ns.platform:
         jax.config.update("jax_platforms", ns.platform)
 

@@ -66,6 +66,9 @@ def _align_main(argv) -> int:
 
 
 def main(argv=None) -> int:
+    from optflow_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "align":

@@ -60,21 +60,30 @@ def _gauss_kernel(sigma: float, order: int = 0) -> np.ndarray:
 
 
 def _conv1d(im: jnp.ndarray, k: np.ndarray, axis: int) -> jnp.ndarray:
-    """SAME-padded 1D convolution along the given axis of an (H, W) image."""
-    kj = jnp.asarray(k)
-    x = im[None, None, :, :]
-    if axis == 0:
-        kern = kj.reshape(1, 1, -1, 1)
-    else:
-        kern = kj.reshape(1, 1, 1, -1)
-    out = jax.lax.conv_general_dilated(
-        x,
-        kern,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return out[0, 0]
+    """SAME-padded 1D convolution along the given axis of an (H, W) image.
+
+    Lowered as shift-and-accumulate over the (static) taps instead of
+    lax.conv: a 1-channel small-tap conv is a pathological TPU shape
+    (measured ~23 ms for 8 gradient fields at 256x1024), while the taps
+    unrolled as statically-sliced adds fuse into one VPU loop. Zero taps
+    (common in derivative kernels) are skipped at trace time.
+    """
+    n = im.shape[axis]
+    r = (len(k) - 1) // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    padded = jnp.pad(im, pad)
+    out = None
+    for t, kt in enumerate(np.asarray(k, dtype=np.float32)):
+        if kt == 0.0:
+            continue
+        if axis == 0:
+            sl = padded[t : t + n, :]
+        else:
+            sl = padded[:, t : t + n]
+        term = kt * sl
+        out = term if out is None else out + term
+    return out if out is not None else jnp.zeros_like(im)
 
 
 def gaussian_blur(im: jnp.ndarray, sigma: float) -> jnp.ndarray:

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 # Keypoint-chunk size for the extraction scan: bounds the row intermediate
 # to chunk*P*C*W elements regardless of detector capacity.
-_K_CHUNK = 256
+_K_CHUNK = 512
 
 
 def _hat_weights(pos: jnp.ndarray, n: int, dtype) -> jnp.ndarray:
@@ -90,20 +90,16 @@ def extract_patches(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (kc*P, C*W)
-        rows = (
-            rows.reshape(_K_CHUNK, p, c, w)
-            .transpose(0, 2, 1, 3)
-            .reshape(_K_CHUNK, c * p, w)
-            .astype(dtype)
-        )
-        # batched over keypoints: (C*P, W) x (W, P) -> (C*P, P)
+        rows = rows.reshape(_K_CHUNK, p, c, w).astype(dtype)
+        # batched over keypoints, contracting w in place — no transpose of
+        # the large row intermediate: (kc, P, C, W) x (kc, Q, W) -> (kc, P, C, Q)
         pat = jax.lax.dot_general(
             rows,
             wx,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            dimension_numbers=(((3,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (kc, C*P, P)
-        return carry, pat.reshape(_K_CHUNK, c, p, p)
+        )  # (kc, P, C, Q)
+        return carry, pat.transpose(0, 2, 1, 3)  # (kc, C, P, Q)
 
     _, pats = jax.lax.scan(
         chunk,

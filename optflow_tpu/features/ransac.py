@@ -26,6 +26,46 @@ class HomographyResult(NamedTuple):
     ok: jnp.ndarray  # () bool
 
 
+def _gj_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched dense solve by Gauss-Jordan elimination with partial
+    pivoting: A (..., N, N), b (..., N) -> (..., N).
+
+    XLA lowers jnp.linalg.solve to an LU path that is slow for small
+    batched systems on TPU; N static steps of vectorized row ops keep the
+    whole thing on the VPU (the hypothesis batch runs 512 8x8 solves).
+    Singular systems yield large-but-finite garbage (the callers reject
+    by residual), matching the previous regularized-solve behavior.
+    """
+    n = A.shape[-1]
+    M = jnp.concatenate([A, b[..., None]], axis=-1)  # (..., N, N+1)
+
+    def step(k, M):  # k static (unrolled) — N is at most 8 here
+        col = jnp.abs(M[..., :, k])
+        rows = jax.lax.broadcasted_iota(jnp.int32, col.shape, col.ndim - 1)
+        col = jnp.where(rows >= k, col, -1.0)
+        piv = jnp.argmax(col, axis=-1)  # (...,)
+        prow = jnp.take_along_axis(
+            M, piv[..., None, None].astype(jnp.int32), axis=-2
+        )  # (..., 1, N+1)
+        # swap row k and the pivot row
+        is_k = rows == k
+        is_piv = rows == piv[..., None]
+        krow = M[..., k : k + 1, :]
+        M = jnp.where(is_k[..., None], prow, M)
+        M = jnp.where(is_piv[..., None] & ~is_k[..., None], krow, M)
+        # eliminate column k from every other row
+        pdiag = M[..., k : k + 1, k : k + 1]
+        pdiag = jnp.where(jnp.abs(pdiag) > 1e-12, pdiag, 1e-12)
+        factor = M[..., :, k : k + 1] / pdiag  # (..., N, 1)
+        upd = M - factor * M[..., k : k + 1, :]
+        M = jnp.where(is_k[..., None], M / pdiag, upd)
+        return M
+
+    for k in range(n):
+        M = step(k, M)
+    return M[..., :, n]
+
+
 def _normalization(p: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Hartley normalization transform (3x3) for the masked points."""
     wsum = jnp.maximum(jnp.sum(mask), 1.0)
@@ -64,12 +104,21 @@ def _solve_h4(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     b = b_rows.reshape(8)
     # Regularize minutely so exactly-singular systems return large-but-
     # finite garbage instead of NaN (still rejected by residuals).
-    h = jnp.linalg.solve(A + 1e-8 * jnp.eye(8), b)
+    h = _gj_solve(A + 1e-8 * jnp.eye(8), b)
     return jnp.concatenate([h, jnp.ones((1,))]).reshape(3, 3)
 
 
 def _dlt(p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Weighted normalized DLT over all points (final refit / method 0)."""
+    """Weighted normalized least-squares homography fit (final refit /
+    method 0), with h22 pinned to 1 in the Hartley-normalized frame.
+
+    The h22=1 gauge turns the fit into an 8x8 normal-equations solve
+    (pure VPU via :func:`_gj_solve`) instead of the smallest-eigenvector
+    of a 9x9 system — jnp.linalg.eigh is a multi-millisecond op on TPU.
+    Normalization centers both clouds, so for the near-identity transforms
+    this pipeline accepts (the 20% zoom gate, src/features.cpp:134-147)
+    the h22≈0 degeneracy is unreachable.
+    """
     Tp = _normalization(p, w)
     Tq = _normalization(q, w)
     pn = _apply_h(Tp, p)
@@ -79,15 +128,20 @@ def _dlt(p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     u, v = qn[:, 0], qn[:, 1]
     z = jnp.zeros_like(x)
     o = jnp.ones_like(x)
-    r1 = jnp.stack([x, y, o, z, z, z, -u * x, -u * y, -u], axis=1)
-    r2 = jnp.stack([z, z, z, x, y, o, -v * x, -v * y, -v], axis=1)
-    A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)
-    # Smallest right singular vector of A == smallest eigenvector of A^T A.
-    AtA = jnp.dot(A.T, A, preferred_element_type=jnp.float32)
-    _, vecs = jnp.linalg.eigh(AtA)
-    h = vecs[:, 0]
-    Hn = h.reshape(3, 3)
-    H = jnp.linalg.solve(Tq, Hn) @ Tp
+    r1 = jnp.stack([x, y, o, z, z, z, -u * x, -u * y], axis=1)
+    r2 = jnp.stack([z, z, z, x, y, o, -v * x, -v * y], axis=1)
+    A = jnp.concatenate([r1, r2], axis=0)  # (2K, 8)
+    b = jnp.concatenate([u, v], axis=0)  # (2K,)
+    ww = jnp.concatenate([w, w], axis=0)
+    AtA = jnp.dot(
+        A.T * ww[None, :], A, preferred_element_type=jnp.float32
+    ) + 1e-8 * jnp.eye(8)
+    Atb = jnp.dot(A.T * ww[None, :], b, preferred_element_type=jnp.float32)
+    h = _gj_solve(AtA, Atb)
+    Hn = jnp.concatenate([h, jnp.ones((1,))]).reshape(3, 3)
+    # Denormalize: H = Tq^{-1} Hn Tp, solving Tq X = Hn column-by-column.
+    X = _gj_solve(jnp.broadcast_to(Tq, (3, 3, 3)), Hn.T).T
+    H = X @ Tp
     return H / jnp.where(jnp.abs(H[2, 2]) > 1e-12, H[2, 2], 1e-12)
 
 
