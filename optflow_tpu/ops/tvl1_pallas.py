@@ -449,12 +449,31 @@ def tvl1_flow_level_pallas_batched(
         shift_warp = not interpret
 
     grad_fn = jax.vmap(centered_gradient)
+    gather_warp = jax.vmap(warp_backward)
     if shift_warp:
-        from optflow_tpu.ops.warp import warp_backward_shift
+        from optflow_tpu.ops.warp import SHIFT_WARP_MAX, warp_backward_shift
 
-        warp_fn = warp_backward_shift  # natively batched
+        def warp_fn(i0_, i1_, i1x_, i1y_, u1_, u2_):
+            # Guarded shift-warp contract (|u| <= SHIFT_WARP_MAX): the
+            # shift-compose warp clamps tap addresses beyond +/-S, so any
+            # flow outside the contract falls back to the exact gather
+            # warp for THIS warp sweep via a traced cond — no silent
+            # degradation, and the fast path costs only two extra
+            # reductions over the flow.
+            exceed = (
+                jnp.maximum(
+                    jnp.max(jnp.abs(u1_)), jnp.max(jnp.abs(u2_))
+                )
+                > SHIFT_WARP_MAX
+            )
+            return jax.lax.cond(
+                exceed,
+                lambda a: gather_warp(*a),
+                lambda a: warp_backward_shift(*a),
+                (i0_, i1_, i1x_, i1y_, u1_, u2_),
+            )
     else:
-        warp_fn = jax.vmap(warp_backward)
+        warp_fn = gather_warp
     i1x, i1y = grad_fn(i1)
 
     state = _pad_hw(
@@ -569,6 +588,7 @@ def _group_fn(
     params: TVL1Params,
     canvas: _Geometry,
     interpret: bool,
+    shift_warp: Optional[bool] = None,
 ):
     """ONE jitted program per CANVAS GROUP of consecutive pyramid levels:
     every level in the group shares the same canvas, hence the same Mosaic
@@ -588,7 +608,7 @@ def _group_fn(
         for idx, stacked in enumerate(level_imgs):
             u1, u2, _ = tvl1_flow_level_pallas_batched(
                 stacked[:n], stacked[n:], u1, u2, params,
-                interpret=interpret, canvas=canvas,
+                interpret=interpret, canvas=canvas, shift_warp=shift_warp,
             )
             nxt = (
                 shapes[idx + 1] if idx + 1 < len(shapes) else up_shape
@@ -607,6 +627,7 @@ def tvl1_flow_batched_pallas(
     params: TVL1Params = TVL1Params(),
     init_flow: Optional[jnp.ndarray] = None,  # (N, H, W, 2)
     interpret: bool | None = None,
+    shift_warp: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Full coarse-to-fine TV-L1 flow, natively batched over the leading
     axis, with the Pallas level solver. Mirrors ops.tvl1.tvl1_flow
@@ -663,6 +684,7 @@ def tvl1_flow_batched_pallas(
             params,
             canvas,
             interpret,
+            shift_warp,
         )
         u1, u2 = step(tuple(levels[s] for s in idxs), u1, u2)
 

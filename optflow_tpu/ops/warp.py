@@ -201,6 +201,14 @@ def warp_backward(
     return i1w, i1wx, i1wy, grad, rho_c
 
 
+# The shift-compose warp's contract: tap addresses are exact only for
+# |flow| <= this many pixels (beyond it they clamp). The Pallas driver
+# guards every warp sweep against it and falls back to the gather warp
+# (ops/tvl1_pallas.py warp_fn), so the clamping below is unreachable from
+# the production path.
+SHIFT_WARP_MAX = 8
+
+
 def warp_backward_shift(
     i0: jnp.ndarray,  # (N, H, W)
     i1: jnp.ndarray,
@@ -208,7 +216,7 @@ def warp_backward_shift(
     i1y: jnp.ndarray,
     u1: jnp.ndarray,
     u2: jnp.ndarray,
-    max_shift: int = 8,
+    max_shift: int = SHIFT_WARP_MAX,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched shift-compose variant of :func:`warp_backward` for flows
     bounded by ``max_shift`` pixels — the TPU production warp.
