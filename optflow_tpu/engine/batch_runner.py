@@ -158,7 +158,7 @@ def _batched_prealigner(h: int, w: int, ftype, orb, surf, mp, mesh):
     def f(f0s, f1s):
         res = find_alignment_batched_device(f1s, f0s, ftype, orb, surf, mp)
         warped = jax.vmap(affine_warp)(f1s, res.affine)
-        return res.affine, warped, res.n_good, res.enough, res.homo_ok
+        return res.affine, warped, res.n_good, res.enough, res.homo_ok, res.H
 
     # pre-alignment runs unsharded (single dispatch, small outputs); a
     # pairs-axis shard_map is a straightforward extension once feature
@@ -344,16 +344,19 @@ def run_job_batched(
                 f1_full[j] = t.frame1
             prealign = _batched_prealigner(fh, fw, ftype, orb, surf, mp, mesh)
             with timer.stage("prealign"):
-                aff_d, warped_d, n_good, enough, homo_ok = prealign(
+                aff_d, warped_d, n_good, enough, homo_ok, homos = prealign(
                     jnp.asarray(f0_full), jnp.asarray(f1_full)
                 )
                 affines = np.asarray(aff_d)
                 warped = np.asarray(warped_d)
+                homos = np.asarray(homos)
             for j, t in enumerate(tasks):
                 if cfg.debug:
                     print(f"Number of good features: {int(n_good[j])}")
+                # debug parity with the sequential path: print the raw
+                # homography under debug (src/features.cpp:137-140,150-153)
                 print_align_warnings(
-                    bool(enough[j]), bool(homo_ok[j]), None, False
+                    bool(enough[j]), bool(homo_ok[j]), homos[j], cfg.debug
                 )
             frames1 = [warped[j] for j in range(len(tasks))]
 

@@ -146,8 +146,18 @@ def main(argv=None) -> int:
     parser.add_argument("cross", help="gzipped neighborPairs JSON")
     parser.add_argument(
         "--tile-images",
-        required=True,
-        help="JSON file mapping tileId -> image path",
+        default=None,
+        help="JSON file mapping tileId -> image path (offline mode)",
+    )
+    parser.add_argument(
+        "--stack",
+        default=None,
+        help="Render stack name: pull the tileId -> image map live from "
+        "render-ws (requires --host; the reference's renderapi path, "
+        "gen_cross_file_list.py:18-21)",
+    )
+    parser.add_argument(
+        "--project", default=os.environ.get("RENDER_PROJECT", "default")
     )
     parser.add_argument("--base_path", default="/tmp/optflow")
     parser.add_argument("--n", default=10, type=int, help="points per pair")
@@ -162,8 +172,18 @@ def main(argv=None) -> int:
     parser.add_argument("--owner", default=os.environ.get("RENDER_OWNER"))
     ns = parser.parse_args(argv)
 
-    with open(ns.tile_images) as f:
-        imageurls = json.load(f)
+    if ns.tile_images:
+        with open(ns.tile_images) as f:
+            imageurls = json.load(f)
+    elif ns.stack and ns.host:
+        from optflow_tpu.sinks.render_client import RenderClient
+
+        client = RenderClient(
+            ns.host, ns.port or "8080", ns.owner or "flyem", ns.project
+        )
+        imageurls = client.image_urls(ns.stack)
+    else:
+        parser.error("provide --tile-images, or --stack with --host")
 
     n_files = gen_file_list(
         ns.cross,

@@ -163,6 +163,11 @@ def main(argv=None) -> int:
     parser.add_argument("--n", default=25, type=int)
     parser.add_argument("--tile-sizes", default=None,
                         help="JSON {tileId: {maxX, maxY}}")
+    parser.add_argument("--stack", default=None,
+                        help="Render stack: pull tile geometry live from "
+                             "render-ws (requires --host)")
+    parser.add_argument("--project",
+                        default=os.environ.get("RENDER_PROJECT", "default"))
     parser.add_argument("--out", default=None,
                         help="JSONL output path (default <match>.jsonl)")
     parser.add_argument("--host", default=os.environ.get("RENDER_HOST"))
@@ -171,9 +176,17 @@ def main(argv=None) -> int:
     ns = parser.parse_args(argv)
 
     tile_sizes = None
+    client = None
     if ns.tile_sizes:
         with open(ns.tile_sizes) as f:
             tile_sizes = json.load(f)
+    elif ns.stack and ns.host:
+        from optflow_tpu.sinks.render_client import RenderClient
+
+        client = RenderClient(
+            ns.host, ns.port or "8080", ns.owner or "flyem", ns.project
+        )
+        tile_sizes = client.tile_sizes(ns.stack)
 
     existing: Set[Tuple[str, str]] = set()
     if ns.host:
@@ -183,6 +196,16 @@ def main(argv=None) -> int:
             owner=ns.owner or "flyem",
             match_collection=ns.match,
         )
+        if client is not None:
+            # idempotent re-runs against the live collection: probe the
+            # group pairs present in flow_dir (upload_matches.py:26-27)
+            pairs = set()
+            for path in glob(f"{ns.flow_dir}/*_x.tiff"):
+                base = "_".join(path[: -len("_x.tiff")].split("_")[:-1])
+                parsed = _parse_base(base)
+                if parsed:
+                    pairs.add((parsed[0][0], parsed[0][1]))
+            existing = client.existing_groups(ns.match, sorted(pairs))
     else:
         out = ns.out or f"{ns.match}.jsonl"
         jsink = JsonlMatchSink(out)
