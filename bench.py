@@ -55,6 +55,29 @@ def make_pair(h, w, dx, dy, seed=0):
     return im0, im1
 
 
+def _oracle_flow():
+    """Committed golden flow for pair seed=0 at the production shape,
+    solved once by the independent IPOL oracle (tests/reference_tvl1.py)
+    at the reference-default parameters. Gates the bench EPE against the
+    reference *algorithm* (BASELINE.md definition), not just synthetic
+    constant-translation truth."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests",
+        "fixtures",
+        "golden_oracle_256x1024.npz",
+    )
+    try:
+        d = np.load(path)
+        if float(d["dx"]) == DX and float(d["dy"]) == DY and int(d["seed"]) == 0:
+            return d["flow"]
+    except Exception:
+        pass
+    return None
+
+
 def _measure(i0_np, i1_np):
     """One full measurement attempt. Raises on TPU worker failure."""
     import jax
@@ -92,6 +115,17 @@ def _measure(i0_np, i1_np):
     # pathologically slow on the tunnel, so do it twice for steady state.
     _, epe_dev = solve_and_epe(i0, i1)
     epe = float(epe_dev)
+    # Production-shape oracle parity: EPE of pair 0's flow against the
+    # committed IPOL-oracle golden (full 10-level pyramid at 256x1024).
+    epe_oracle = None
+    oracle = _oracle_flow()
+    if oracle is not None:
+        flow0 = np.asarray(tvl1_flow_batched(i0[:1], i1[:1], params))[0]
+        m = 16
+        diff = flow0[m:-m, m:-m] - oracle[m:-m, m:-m]
+        epe_oracle = float(
+            np.sqrt(diff[..., 0] ** 2 + diff[..., 1] ** 2).mean()
+        )
     s, _ = solve_and_epe(i0, i1)
     _ = float(s)
 
@@ -102,7 +136,7 @@ def _measure(i0_np, i1_np):
         _ = float(s)  # sync
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
-    return dt, epe
+    return dt, epe, epe_oracle
 
 
 def main():
@@ -133,7 +167,7 @@ def main():
                 flush=True,
             )
         try:
-            dt, epe = _measure(i0_np, i1_np)
+            dt, epe, epe_oracle = _measure(i0_np, i1_np)
             break
         except Exception as e:  # worker crash/restart: retry from scratch
             last_err = e
@@ -158,6 +192,14 @@ def main():
         "epe_px": round(epe, 4),
         "epe_target_px": 0.5,
         "epe_ok": epe <= 0.5,
+        # EPE vs the committed IPOL-oracle golden flow at the production
+        # shape (full 10-level pyramid) — the BASELINE.md parity metric.
+        "epe_vs_oracle_px": (
+            round(epe_oracle, 4) if epe_oracle is not None else None
+        ),
+        "oracle_epe_ok": (
+            epe_oracle <= 0.5 if epe_oracle is not None else None
+        ),
         "platform": platform,
         "kernel": "pallas" if pallas_enabled() else "xla",
         "shape": [BATCH, H, W],
