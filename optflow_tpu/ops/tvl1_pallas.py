@@ -665,15 +665,28 @@ def tvl1_flow_batched_pallas(
         u1 = jnp.zeros((n,) + coarsest, jnp.float32)
         u2 = jnp.zeros((n,) + coarsest, jnp.float32)
 
-    canvases = _assign_canvases(shapes)
-    # One level per program: a program with one level's 5 same-kernel
-    # calls is hardware-validated; grouping a whole canvas's levels into
-    # one program (35 calls) faulted the worker, so groups stay singleton
-    # until the runtime bug is understood (canvas sharing still dedupes
-    # compilation and keeps any accidental multi-level trace at two
-    # distinct kernels).
+    # Program grouping. The solve's wall time on the harness v5e is
+    # dominated by PER-PROGRAM dispatch overhead (~16 ms/program through
+    # the tunnel; a 10-level 1-iteration solve costs 178 ms vs 190 ms for
+    # the full default solve — i.e. ~95% dispatch), so levels are fused
+    # into as FEW programs as the worker tolerates: contiguous canvas
+    # groups (one Mosaic kernel binary per group, 2 distinct kernels
+    # total), re-validated by probe (_fault_probe.py: 50 same-geometry
+    # calls/program and 10 calls x 2 geometries both run clean; the r2
+    # "35-call program faults" observation did not reproduce).
+    # OPTFLOW_TPU_SINGLETON_LEVELS=1 restores one-level-per-program with
+    # exact per-level geometry (no canvas padding) as a fallback.
     order = list(range(len(shapes) - 1, -1, -1))
-    groups: list = [(canvases[s], [s]) for s in order]
+    if os.environ.get("OPTFLOW_TPU_SINGLETON_LEVELS", "") == "1":
+        groups: list = [(_select_geometry(*shapes[s]), [s]) for s in order]
+    else:
+        canvases = _assign_canvases(shapes)
+        groups = []
+        for s in order:
+            if groups and groups[-1][0] == canvases[s]:
+                groups[-1][1].append(s)
+            else:
+                groups.append((canvases[s], [s]))
     for canvas, idxs in groups:
         finest = idxs[-1]
         up_shape = shapes[finest - 1] if finest > 0 else None

@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""Kernel ablation experiment: where does the TV-L1 Pallas iteration go?
+
+Measures the TRUE per-iteration cost of the fused VMEM kernel by the slope
+method — time chunks of m=LO and m=HI fixed iterations and divide the
+difference by (HI-LO) — which cancels the harness tunnel's ~0.4 s per-call
+dispatch latency and the DMA in/out cost (both independent of m). The r2
+roofline bench divided ONE 300-iteration call's wall time, so dispatch
+latency dominated it and the resulting "0.397 G px-iter/s" said nothing
+about the kernel.
+
+Ablation variants rebuild the kernel body with one cost class removed:
+  full     — production body
+  no_err   — per-iteration masked err reduction removed (exit disabled)
+  no_sqrt  — the two dual-norm sqrts replaced by a multiply
+  no_div   — the 5 divides replaced by multiplies
+  no_roll  — all 8 pltpu.roll neighbor shifts replaced by identity
+  min_body — update arithmetic only (no err/sqrt/div/roll): VPU floor
+
+Run on the real chip: python tools_kernel_ablate.py
+"""
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from optflow_tpu.ops.tvl1_pallas import _Geometry, _select_geometry, _vmem_limit
+
+N, H, W = 16, 256, 1024
+LO, HI = 50, 600
+L_T, THETA, TAUT = 0.05 * 0.3, 0.3, 0.25 / 0.3
+
+
+def make_kernel(geo, err=True, sqrt=True, div=True, roll=True):
+    hp, wp, block, halo, win, nb = geo
+    assert nb == 1
+
+    def kernel(dims_ref, ro_ref, st_ref, out_ref, err_ref, ro_s, st_s, sem_in, sem_out):
+        m = dims_ref[0]
+        h = dims_ref[1]
+        w = dims_ref[2]
+        n = pl.program_id(0)
+        cp_ro = pltpu.make_async_copy(ro_ref.at[n], ro_s, sem_in.at[0])
+        cp_st = pltpu.make_async_copy(st_ref.at[n], st_s, sem_in.at[1])
+        cp_ro.start()
+        cp_st.start()
+        cp_ro.wait()
+        cp_st.wait()
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+        first_row = rows == 0
+        last_row = rows >= h - 1
+        first_col = cols == 0
+        last_col = cols >= w - 1
+        err_row = (rows < h).astype(jnp.float32)
+        err_col = (cols < w).astype(jnp.float32)
+
+        i1wx = ro_s[0]
+        i1wy = ro_s[1]
+        rho_c = ro_s[2]
+
+        def sh(x, amt, axis):
+            return pltpu.roll(x, amt, axis) if roll else x
+
+        def divergence(p1, p2):
+            dx = p1 - sh(p1, 1, 1)
+            dx = jnp.where(first_col, p1, dx)
+            dy = p2 - sh(p2, 1, 0)
+            dy = jnp.where(first_row, p2, dy)
+            return dx + dy
+
+        def fwd_grad(u):
+            ux = sh(u, wp - 1, 1) - u
+            ux = jnp.where(last_col, 0.0, ux)
+            uy = sh(u, win - 1, 0) - u
+            uy = jnp.where(last_row, 0.0, uy)
+            return ux, uy
+
+        def body(carry):
+            it, _ = carry
+            u1 = st_s[0]
+            u2 = st_s[1]
+            grad = i1wx * i1wx + i1wy * i1wy
+            rho = rho_c + i1wx * u1 + i1wy * u2
+            hi_t = L_T * grad
+            lo = rho < -hi_t
+            hi = rho > hi_t
+            if div:
+                fi = -rho / jnp.maximum(grad, 1e-7)
+            else:
+                fi = -rho * jnp.maximum(grad, 1e-7)
+            mid_ok = grad > 1e-7
+            d1 = jnp.where(
+                lo, L_T * i1wx,
+                jnp.where(hi, -L_T * i1wx, jnp.where(mid_ok, fi * i1wx, 0.0)),
+            )
+            d2 = jnp.where(
+                lo, L_T * i1wy,
+                jnp.where(hi, -L_T * i1wy, jnp.where(mid_ok, fi * i1wy, 0.0)),
+            )
+            u1n = u1 + d1 + THETA * divergence(st_s[2], st_s[3])
+            u2n = u2 + d2 + THETA * divergence(st_s[4], st_s[5])
+            if err:
+                e = jnp.sum(((u1n - u1) ** 2 + (u2n - u2) ** 2) * err_row * err_col)
+            else:
+                e = jnp.float32(1.0)
+            st_s[0] = u1n
+            st_s[1] = u2n
+            u1x, u1y = fwd_grad(u1n)
+            u2x, u2y = fwd_grad(u2n)
+            if sqrt:
+                ng1 = 1.0 + TAUT * jnp.sqrt(u1x * u1x + u1y * u1y)
+                ng2 = 1.0 + TAUT * jnp.sqrt(u2x * u2x + u2y * u2y)
+            else:
+                ng1 = 1.0 + TAUT * (u1x * u1x + u1y * u1y)
+                ng2 = 1.0 + TAUT * (u2x * u2x + u2y * u2y)
+            if div:
+                st_s[2] = (st_s[2] + TAUT * u1x) / ng1
+                st_s[3] = (st_s[3] + TAUT * u1y) / ng1
+                st_s[4] = (st_s[4] + TAUT * u2x) / ng2
+                st_s[5] = (st_s[5] + TAUT * u2y) / ng2
+            else:
+                st_s[2] = (st_s[2] + TAUT * u1x) * ng1
+                st_s[3] = (st_s[3] + TAUT * u1y) * ng1
+                st_s[4] = (st_s[4] + TAUT * u2x) * ng2
+                st_s[5] = (st_s[5] + TAUT * u2y) * ng2
+            return it + 1, e
+
+        def cond(carry):
+            it, e = carry
+            return (it < m) & (e > -1.0)
+
+        _, e_fin = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(jnp.inf)))
+        err_ref[n, 0] = e_fin
+
+        cp_out = pltpu.make_async_copy(st_s, out_ref.at[n], sem_out)
+        cp_out.start()
+        cp_out.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("geo", "err", "sqrt", "div", "roll"))
+def run(ro, state, m, geo, err, sqrt, div, roll):
+    kernel = make_kernel(geo, err, sqrt, div, roll)
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    dims = jnp.stack([m.astype(jnp.int32), jnp.int32(H), jnp.int32(W)])
+    out, errs = pl.pallas_call(
+        kernel,
+        grid=(N,),
+        out_shape=(
+            jax.ShapeDtypeStruct(state.shape, jnp.float32),
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), hbm, hbm],
+        out_specs=(hbm, pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((3, geo.win, geo.wp), jnp.float32),
+            pltpu.VMEM((6, geo.win, geo.wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit(geo)),
+    )(dims, ro, state)
+    return out, errs
+
+
+def time_m(ro, state, m, geo, **kw):
+    o, e = run(ro, state, jnp.int32(m), geo, **kw)
+    _ = float(e[0, 0])
+    ts = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        o, e = run(ro, state, jnp.int32(m), geo, **kw)
+        _ = float(e[0, 0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    print("platform:", jax.devices()[0].platform)
+    geo = _select_geometry(H, W)
+    print("geometry:", geo)
+    rng = np.random.default_rng(0)
+    ro = jnp.asarray(rng.standard_normal((N, 3, geo.hp, geo.wp)), jnp.float32)
+    state = jnp.asarray(
+        rng.standard_normal((N, 6, geo.hp, geo.wp)) * 0.1, jnp.float32
+    )
+
+    variants = [
+        ("full", dict(err=True, sqrt=True, div=True, roll=True)),
+        ("no_err", dict(err=False, sqrt=True, div=True, roll=True)),
+        ("no_sqrt", dict(err=True, sqrt=False, div=True, roll=True)),
+        ("no_div", dict(err=True, sqrt=True, div=False, roll=True)),
+        ("no_roll", dict(err=True, sqrt=True, div=True, roll=False)),
+        ("min_body", dict(err=False, sqrt=False, div=False, roll=False)),
+    ]
+    px = N * H * W
+    for name, kw in variants:
+        t_lo = time_m(ro, state, LO, geo, **kw)
+        t_hi = time_m(ro, state, HI, geo, **kw)
+        per_iter = (t_hi - t_lo) / (HI - LO)
+        print(
+            f"{name:9s} t({LO})={t_lo*1e3:7.1f}ms t({HI})={t_hi*1e3:7.1f}ms "
+            f"slope={per_iter*1e6:8.2f}us/iter  "
+            f"{px / per_iter / 1e9:7.2f} G px-iter/s"
+        )
+
+
+if __name__ == "__main__":
+    main()
