@@ -9,6 +9,7 @@ kept dormant, src/optflow.cpp:180-226 — implemented in align/average_flow).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -83,9 +84,16 @@ def main(argv=None) -> int:
         action="store_true",
         help="disable feature pre-alignment regardless of job config",
     )
+    parser.add_argument(
+        "--profile-dir",
+        default=os.environ.get("OPTFLOW_TPU_PROFILE_DIR") or None,
+        help="write a jax.profiler trace of the whole job here (view with "
+        "TensorBoard / xprof); also settable via OPTFLOW_TPU_PROFILE_DIR",
+    )
     ns = parser.parse_args(argv)
 
     from optflow_tpu.core.config import load_job
+    from optflow_tpu.utils.metrics import profiler_trace
 
     args = load_job(ns.filename)
     if ns.no_features:
@@ -95,20 +103,26 @@ def main(argv=None) -> int:
     if style == 1:
         from optflow_tpu.engine.features_glue import default_aligner
 
-        if int(args.get("pair_batch", 1)) > 1:
-            from optflow_tpu.engine.batch_runner import run_job_batched
+        with profiler_trace(ns.profile_dir):
+            if int(args.get("pair_batch", 1)) > 1:
+                from optflow_tpu.engine.batch_runner import run_job_batched
 
-            stats = run_job_batched(args, aligner=default_aligner)
-        else:
-            from optflow_tpu.engine.runner import run_job
+                stats = run_job_batched(args, aligner=default_aligner)
+            else:
+                from optflow_tpu.engine.runner import run_job
 
-            stats = run_job(args, aligner=default_aligner)
+                stats = run_job(args, aligner=default_aligner)
+        if ns.profile_dir:
+            print(f"profiler trace written to {ns.profile_dir}")
         print(f"done: {stats}")
         return 0
     if style == 2:
         from optflow_tpu.align.average_flow import average_flow_job
 
-        average_flow_job(args)
+        with profiler_trace(ns.profile_dir):
+            average_flow_job(args)
+        if ns.profile_dir:
+            print(f"profiler trace written to {ns.profile_dir}")
         return 0
     print(f"unknown style {style}", file=sys.stderr)
     return 2

@@ -48,6 +48,19 @@ def make_pair_mesh(
     return Mesh(grid, axis_names=("pairs", "rows"))
 
 
+def pairs_axis_devices(mesh: Mesh) -> list:
+    """One device per index of the mesh's ``pairs`` axis (index 0 along
+    every other axis). Indexes by AXIS NAME, so caller-supplied meshes of
+    any rank work — ``mesh.devices[:, 0]`` IndexErrors on a 1-D mesh
+    (advisor r2 finding, reachable only on real TPU eager dispatch)."""
+    axis_idx = list(mesh.axis_names).index("pairs")
+    sl = tuple(
+        slice(None) if i == axis_idx else 0
+        for i in range(mesh.devices.ndim)
+    )
+    return list(np.asarray(mesh.devices[sl]).flatten())
+
+
 def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

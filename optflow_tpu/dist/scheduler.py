@@ -45,6 +45,17 @@ class PairScheduler:
         self.max_batch = max_batch
         self.hbm_budget_bytes = hbm_budget_bytes
         self._jitted: Dict[Tuple[int, int], object] = {}
+        self._pool = None
+
+    def _dispatch_pool(self, n_workers: int):
+        if self._pool is None or self._pool._max_workers < n_workers:
+            import concurrent.futures
+
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=n_workers,
+                thread_name_prefix="pair-dispatch",
+            )
+        return self._pool
 
     @property
     def n_shards(self) -> int:
@@ -80,20 +91,36 @@ class PairScheduler:
                 # eagerly-orchestrated Pallas solve dispatched there
                 # (tracing the whole pyramid into one shard_map program
                 # would fault the worker — tvl1_pallas._under_trace).
-                pairs_devices = list(mesh.devices[:, 0].flatten())
+                # Per-device work is submitted from a thread pool so the
+                # H2D copies and the per-program dispatch overhead of N
+                # devices OVERLAP instead of serializing on one Python
+                # thread (round-3 verdict item 3); JAX dispatch is
+                # thread-safe and each thread only touches its own device.
+                from optflow_tpu.dist.mesh import pairs_axis_devices
+
+                pairs_devices = pairs_axis_devices(mesh)
+                pool = self._dispatch_pool(len(pairs_devices))
+
+                def one_device(dev, a_np, b_np):
+                    a = jax.device_put(a_np, dev)
+                    b = jax.device_put(b_np, dev)
+                    return tvl1_flow_batched(a, b, params)
 
                 def dispatch(i0s_np, i1s_np):
                     n = i0s_np.shape[0]
                     per = n // len(pairs_devices)
-                    outs = []
+                    futs = []
                     for d_i, dev in enumerate(pairs_devices):
                         lo, hi = d_i * per, (d_i + 1) * per
                         if lo >= n:
                             break
-                        a = jax.device_put(i0s_np[lo:hi], dev)
-                        b = jax.device_put(i1s_np[lo:hi], dev)
-                        outs.append(tvl1_flow_batched(a, b, params))
-                    return outs
+                        futs.append(
+                            pool.submit(
+                                one_device, dev,
+                                i0s_np[lo:hi], i1s_np[lo:hi],
+                            )
+                        )
+                    return [f.result() for f in futs]
 
                 self._jitted[shape] = (dispatch, None)
             else:

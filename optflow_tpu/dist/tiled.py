@@ -12,13 +12,25 @@ solve (:func:`default_halo`), making the stitched field match the
 monolithic solve to the numerical level at every row including seams
 (asserted by max-error tests, not medians).
 
-The input frames are shared via one all_gather over ICI (two H x W arrays
-— input-sized, cheap); what sharding buys is the SOLVE's footprint: the
-~16 level-state arrays and the iteration bandwidth stay block-local per
-device. This replaces a ppermute neighbor-strip exchange that replicated
-edge rows at the image boundary and thereby perturbed the boundary
-condition (seam tests caught 0.3 px errors at the image's first/last
-rows).
+Communication (SURVEY.md §2.4 row 2): a NEIGHBOR RING exchange — each
+device ppermutes its edge rows (2*halo rows each way) to the adjacent
+rows-axis device over ICI, O(halo * W) per device instead of the
+O(H * W) full-frame all_gather. The window a device assembles is still a
+true slice of the global image: boundary devices' clamped windows reach
+2*halo rows into their single neighbor, which is exactly what the
+exchange provides. When blocks are too thin for one-hop assembly
+(2*halo > block), the solver falls back to the all_gather path — the
+halo contract itself would be questionable at that geometry anyway.
+
+The solve's footprint is what sharding buys: the ~16 level-state arrays
+and the iteration bandwidth stay block-local per device.
+
+Flow-magnitude contract: the halo is sized for |flow| <= max_flow; a
+solved flow beyond it could legitimately depend on pixels outside the
+halo. Such pixels are clamped to +/-max_flow AND counted —
+:func:`get_last_clip_fraction` reports the clipped fraction of the last
+solve (lazy device scalar; reading syncs), and ``strict=True`` raises
+instead of silently degrading (r3 verdict #5).
 """
 
 from __future__ import annotations
@@ -66,6 +78,21 @@ def default_halo(
     return -(-need // 8) * 8
 
 
+# Lazy telemetry of the most recent tiled solve on this thread: fraction
+# of flow components clamped by the max_flow contract. Device scalar —
+# reading it syncs, so it is only materialized in get_last_clip_fraction.
+_last_clip_fraction = None
+
+
+def get_last_clip_fraction() -> float:
+    """Fraction of flow values the last :func:`tiled_tvl1_flow` clamped to
+    +/-max_flow (0.0 when the contract held everywhere, or when no tiled
+    solve ran yet). Reading syncs on that solve having finished."""
+    if _last_clip_fraction is None:
+        return 0.0
+    return float(_last_clip_fraction)
+
+
 def tiled_tvl1_flow(
     i0: jnp.ndarray,
     i1: jnp.ndarray,
@@ -75,6 +102,8 @@ def tiled_tvl1_flow(
     axis_name: str = "rows",
     level_solver=None,
     max_flow: Optional[float] = 8.0,
+    strict: bool = False,
+    neighbor_exchange: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Solve TV-L1 over a section sharded by rows across ``axis_name``.
 
@@ -84,6 +113,11 @@ def tiled_tvl1_flow(
     max_flow: when set, the solved flow is clamped to this magnitude —
       the halo-validity contract (a flow exceeding it could legitimately
       depend on pixels beyond the halo). None disables the clamp.
+    strict: raise ValueError when any flow value violates the max_flow
+      contract, instead of silently clamping (forces a device sync).
+    neighbor_exchange: force the ppermute ring (True) or the all_gather
+      fallback (False); default picks the ring whenever one-hop assembly
+      is possible (2 * halo <= block and > 1 device).
     Returns the stitched (H, W, 2) flow, sharded the same way.
     """
     n_rows = mesh.shape[axis_name]
@@ -94,36 +128,81 @@ def tiled_tvl1_flow(
         halo = default_halo(params, max_flow or 8.0, h, w)
     halo = min(halo, (h - block) // 2)  # window must fit inside the image
     win = block + 2 * halo
+    if neighbor_exchange is None:
+        neighbor_exchange = n_rows > 1 and 2 * halo <= block
+
+    def window_ring(blk):
+        # Neighbor halo ring: device d receives the LAST 2*halo rows of
+        # device d-1 and the FIRST 2*halo rows of device d+1 (one
+        # ppermute hop each way, O(halo * w) over ICI), then slices its
+        # clamped window out of [prev_tail | own | next_head] — which
+        # covers global rows [d*block - 2h, (d+1)*block + 2h), a
+        # superset of every clamped window position:
+        #   interior d: start = d*block - halo   -> local offset halo
+        #   d = 0:      start = 0                -> local offset 2*halo
+        #   d = n-1:    start = h - win          -> local offset 0
+        # Edge devices' missing neighbor contributes ppermute zeros that
+        # the clamped window never reads.
+        e = 2 * halo
+        fwd = [(i, i + 1) for i in range(n_rows - 1)]
+        bwd = [(i + 1, i) for i in range(n_rows - 1)]
+        prev_tail = jax.lax.ppermute(blk[-e:], axis_name, fwd)
+        next_head = jax.lax.ppermute(blk[:e], axis_name, bwd)
+        ext = jnp.concatenate([prev_tail, blk, next_head], axis=0)
+        idx = jax.lax.axis_index(axis_name)
+        start = jnp.clip(idx * block - halo, 0, h - win)
+        off = start - (idx * block - e)
+        return jax.lax.dynamic_slice(ext, (off, 0), (win, w)), start
+
+    def window_gather(blk):
+        # fallback: one input-sized all_gather, every device slices its
+        # clamped window from the full frame
+        full = jnp.reshape(jax.lax.all_gather(blk, axis_name), (h, w))
+        idx = jax.lax.axis_index(axis_name)
+        start = jnp.clip(idx * block - halo, 0, h - win)
+        return jax.lax.dynamic_slice(full, (start, 0), (win, w)), start
+
+    window = window_ring if neighbor_exchange else window_gather
 
     def shard_fn(i0_blk, i1_blk):
-        # one input-sized all_gather over ICI; every device then slices
-        # its clamped window — a true slice of the global image, so image
-        # boundaries are exactly the monolithic solver's boundaries
-        i0_full = jnp.reshape(
-            jax.lax.all_gather(i0_blk, axis_name), (h, w)
-        )
-        i1_full = jnp.reshape(
-            jax.lax.all_gather(i1_blk, axis_name), (h, w)
-        )
-        idx = jax.lax.axis_index(axis_name)
-        start = idx * block
-        wstart = jnp.clip(start - halo, 0, h - win)
-        ext0 = jax.lax.dynamic_slice(i0_full, (wstart, 0), (win, w))
-        ext1 = jax.lax.dynamic_slice(i1_full, (wstart, 0), (win, w))
+        ext0, start = window(i0_blk)
+        ext1, _ = window(i1_blk)
         flow = tvl1_flow(ext0, ext1, params, level_solver=level_solver)
+        # my block lives at window offset idx*block - start (halo for
+        # interior devices, 0 / 2*halo at the clamped edges)
+        flow_blk_off = jax.lax.axis_index(axis_name) * block - start
         if max_flow is not None:
+            clipped = jnp.mean(
+                (jnp.abs(flow) > max_flow).astype(jnp.float32)
+            )
+            clip_frac = jax.lax.pmean(clipped, axis_name)
             flow = jnp.clip(flow, -max_flow, max_flow)
-        off = start - wstart
-        return jax.lax.dynamic_slice(flow, (off, 0, 0), (block, w, 2))
+        else:
+            clip_frac = jnp.float32(0.0)
+        out = jax.lax.dynamic_slice(
+            flow, (flow_blk_off, 0, 0), (block, w, 2)
+        )
+        return out, clip_frac[None]
 
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
-        out_specs=P(axis_name, None, None),
+        out_specs=(P(axis_name, None, None), P(axis_name)),
         check_vma=False,
     )
     sharding = NamedSharding(mesh, P(axis_name, None))
     i0 = jax.device_put(i0, sharding)
     i1 = jax.device_put(i1, sharding)
-    return fn(i0, i1)
+    flow, clip_frac = fn(i0, i1)
+    global _last_clip_fraction
+    _last_clip_fraction = clip_frac[0]
+    if strict and max_flow is not None:
+        frac = float(clip_frac[0])
+        if frac > 0.0:
+            raise ValueError(
+                f"tiled_tvl1_flow: {frac:.2%} of flow values exceed the "
+                f"max_flow={max_flow} halo contract; re-run with a larger "
+                f"halo/max_flow or strict=False to clamp"
+            )
+    return flow

@@ -9,7 +9,9 @@ mesh via the dist.PairScheduler layout). Host-side post-processing
 (TIFF writing, point sampling, match accumulation) stays per-pair and
 preserves the reference's ordering and upload-batching semantics.
 
-Pairs that can't batch — feature pre-alignment enabled, custom_diff ROIs,
+Feature pre-alignment pairs DO batch: _batched_prealigner runs detect /
+describe / match / RANSAC across the group and the batched solver takes a
+per-pair (2, 3) affine. Pairs that still can't batch — custom_diff ROIs,
 mismatched frame shapes — fall back to the sequential solve_rois path,
 so behavior is identical and batching is purely an optimization.
 
@@ -105,25 +107,43 @@ def _batched_solver(h: int, w: int, params: TVL1Params, mode: str, mesh):
             return fx, fy, valid
 
         post_j = jax.jit(post)
-        devices = (
-            list(mesh.devices[:, 0].flatten()) if mesh is not None else [None]
-        )
+        if mesh is not None:
+            from optflow_tpu.dist.mesh import pairs_axis_devices
+
+            devices = pairs_axis_devices(mesh)
+        else:
+            devices = [None]
+
+        def one_device(dev, a, b, af):
+            if dev is not None:
+                a = jax.device_put(a, dev)
+                b = jax.device_put(b, dev)
+                af = jax.device_put(af, dev)
+            flow = tvl1_flow_batched(a, b, params)
+            return post_j(flow, a, b, af)
 
         def eager(i0s, i1s, affines):
+            # per-device sub-batches dispatched from a thread pool: H2D
+            # copies and program-launch overhead overlap across devices
+            # instead of serializing on one Python thread (r3 verdict #3)
+            import concurrent.futures
+
             n = i0s.shape[0]
             per = -(-n // len(devices))
-            outs = []
+            work = []
             for d_i, dev in enumerate(devices):
                 lo, hi = d_i * per, min((d_i + 1) * per, n)
                 if lo >= hi:
                     break
-                a, b, af = i0s[lo:hi], i1s[lo:hi], affines[lo:hi]
-                if dev is not None:
-                    a = jax.device_put(a, dev)
-                    b = jax.device_put(b, dev)
-                    af = jax.device_put(af, dev)
-                flow = tvl1_flow_batched(a, b, params)
-                outs.append(post_j(flow, a, b, af))
+                work.append((dev, i0s[lo:hi], i1s[lo:hi], affines[lo:hi]))
+            if len(work) == 1:
+                outs = [one_device(*work[0])]
+            else:
+                with concurrent.futures.ThreadPoolExecutor(
+                    max_workers=len(work),
+                    thread_name_prefix="batch-dispatch",
+                ) as pool:
+                    outs = list(pool.map(lambda w: one_device(*w), work))
             fx = jnp.concatenate([o[0] for o in outs])
             fy = jnp.concatenate([o[1] for o in outs])
             valid = jnp.concatenate([o[2] for o in outs])

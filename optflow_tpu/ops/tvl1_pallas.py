@@ -82,6 +82,15 @@ _CHUNK_WINDOW_BUDGET = int(2.5 * 1024 * 1024)
 _DEFAULT_K = 8  # halo rows == iterations per chunk in multi-block mode
 _CANVAS_B_BUDGET = int(3.3 * 1024 * 1024)  # scratch cap for the small canvas
 
+# Fused-level kernel budget: 13 resident arrays (2 images + 2 gradients +
+# 3 warped + 6 state) plus roll/select temporaries. Physical VMEM on the
+# v5e is ~128 MiB (tools/probes/r4_vmem_cap.py ran 127 MiB of scratch
+# clean — the round-2 "~16 MiB" calibration was the DEFAULT
+# vmem_limit_bytes, not the hardware), so whole levels up to ~1 Mpx stay
+# resident.
+_FUSED_BUDGET = 52 * 1024 * 1024  # 13-array scratch bytes
+_FUSED_VMEM_LIMIT = 100 * 1024 * 1024
+
 
 def _vmem_limit(geo: "_Geometry") -> int:
     """Per-call VMEM cap: the 9 scratch window arrays plus Mosaic's
@@ -148,6 +157,353 @@ def _assign_canvases(shapes) -> list:
         canvas_b if (canvas_b is not None and i >= b_from) else canvas_a
         for i in range(len(shapes))
     ]
+
+
+# --- fused level kernel ------------------------------------------------------
+
+
+def _fused_geometry(h: int, w: int) -> _Geometry:
+    """Whole-level single-block geometry for the fused kernel (no row
+    chunking: the in-kernel warp's row shifts need the full height)."""
+    hp = _round_up(h, 8)
+    wp = _round_up(w, 128)
+    assert 13 * hp * wp * 4 <= _FUSED_BUDGET, (h, w)
+    return _Geometry(hp, wp, hp, 0, hp, 1)
+
+
+def _make_fused_kernel(
+    geo: _Geometry,
+    l_t: float,
+    theta: float,
+    taut: float,
+    warps: int,
+    s_max: int,
+):
+    """ONE kernel per pyramid level: all ``warps`` re-linearizations AND
+    their primal-dual iteration loops run in a single launch with every
+    array VMEM-resident — the level's images are DMA'd in once, the warp
+    runs in-VMEM (shift-compose, |u| <= s_max contract), and only the
+    final state is DMA'd out. Replaces, per level: 5 XLA warp-sweep
+    round-trips through HBM, 5 kernel launches with window re-DMA, and
+    the canvas padding of the grouped scheme (each level gets its EXACT
+    geometry — one distinct Mosaic kernel per XLA program, the
+    configuration the v5e worker provably tolerates).
+
+    Physical VMEM on the v5e is ~128 MiB (tools/probes/r4_vmem_cap.py),
+    so the 14 resident arrays fit whole levels up to ~1 Mpx.
+
+    Contract handling is PER IMAGE and in-kernel: a sweep whose masked
+    max|u| exceeds s_max has its tap shifts clamped (bounded sampling
+    error) and increments this image's violation counter output; callers
+    surface the counts (get_last_fallback_sweeps) and can re-solve
+    offending images with the exact gather-warp path. In production
+    (max_flow <= 8 contract, BASELINE.md) the counter stays 0.
+    """
+    hp, wp, block, halo, win, nb = geo
+    assert nb == 1
+    S = int(s_max)
+
+    def hat(t):
+        # central lobe of the Catmull-Rom cubic on t in [0, 1]
+        return t * t * (1.5 * t - 2.5) + 1.0
+
+    def kernel(dims_ref, thr_ref, img_ref, st_ref, out_ref, err_ref,
+               viol_ref, img_s, pk_s, wp_s, st_s, sem_in, sem_out):
+        m = dims_ref[0]
+        h = dims_ref[1]
+        w = dims_ref[2]
+        thresh = thr_ref[0]
+        n = pl.program_id(0)
+
+        cp_img = pltpu.make_async_copy(img_ref.at[n], img_s, sem_in.at[0])
+        cp_st = pltpu.make_async_copy(st_ref.at[n], st_s, sem_in.at[1])
+        cp_img.start()
+        cp_st.start()
+        cp_img.wait()
+        cp_st.wait()
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hp, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+        first_row = rows == 0
+        last_row = rows >= h - 1
+        first_col = cols == 0
+        last_col = cols >= w - 1
+        err_row = (rows < h).astype(jnp.float32)
+        err_col = (cols < w).astype(jnp.float32)
+
+        i0 = img_s[0]
+        i1 = img_s[1]
+        # centered gradient of i1, replicate border at the REAL h x w
+        # (ops/warp.py centered_gradient semantics)
+        nxt = pltpu.roll(i1, wp - 1, 1)
+        prv = pltpu.roll(i1, 1, 1)
+        gx = 0.5 * (
+            jnp.where(last_col, i1, nxt) - jnp.where(first_col, i1, prv)
+        )
+        dwn = pltpu.roll(i1, hp - 1, 0)
+        up = pltpu.roll(i1, 1, 0)
+        gy = 0.5 * (
+            jnp.where(last_row, i1, dwn) - jnp.where(first_row, i1, up)
+        )
+        pk_s[0] = i1
+        pk_s[1] = gx
+        pk_s[2] = gy
+
+        def div(p1, p2):
+            dx = p1 - pltpu.roll(p1, 1, 1)
+            dx = jnp.where(first_col, p1, dx)
+            dy = p2 - pltpu.roll(p2, 1, 0)
+            dy = jnp.where(first_row, p2, dy)
+            return dx + dy
+
+        def fwd_grad(u):
+            ux = pltpu.roll(u, wp - 1, 1) - u
+            ux = jnp.where(last_col, 0.0, ux)
+            uy = pltpu.roll(u, win - 1, 0) - u
+            uy = jnp.where(last_row, 0.0, uy)
+            return ux, uy
+
+        def iter_body(carry):
+            it, _ = carry
+            u1 = st_s[0]
+            u2 = st_s[1]
+            i1wx = wp_s[0]
+            i1wy = wp_s[1]
+            rho_c = wp_s[2]
+            grad = i1wx * i1wx + i1wy * i1wy
+            rho = rho_c + i1wx * u1 + i1wy * u2
+            hi_t = l_t * grad
+            lo = rho < -hi_t
+            hi = rho > hi_t
+            fi = -rho / jnp.maximum(grad, _GRAD_EPS)
+            mid_ok = grad > _GRAD_EPS
+            d1 = jnp.where(
+                lo, l_t * i1wx,
+                jnp.where(hi, -l_t * i1wx, jnp.where(mid_ok, fi * i1wx, 0.0)),
+            )
+            d2 = jnp.where(
+                lo, l_t * i1wy,
+                jnp.where(hi, -l_t * i1wy, jnp.where(mid_ok, fi * i1wy, 0.0)),
+            )
+            u1n = u1 + d1 + theta * div(st_s[2], st_s[3])
+            u2n = u2 + d2 + theta * div(st_s[4], st_s[5])
+            err = jnp.sum(
+                ((u1n - u1) ** 2 + (u2n - u2) ** 2) * err_row * err_col
+            )
+            st_s[0] = u1n
+            st_s[1] = u2n
+            u1x, u1y = fwd_grad(u1n)
+            u2x, u2y = fwd_grad(u2n)
+            ng1 = 1.0 + taut * jnp.sqrt(u1x * u1x + u1y * u1y)
+            ng2 = 1.0 + taut * jnp.sqrt(u2x * u2x + u2y * u2y)
+            st_s[2] = (st_s[2] + taut * u1x) / ng1
+            st_s[3] = (st_s[3] + taut * u1y) / ng1
+            st_s[4] = (st_s[4] + taut * u2x) / ng2
+            st_s[5] = (st_s[5] + taut * u2y) / ng2
+            return it + 1, err
+
+        def iter_cond(carry):
+            it, err = carry
+            return (it < m) & (err > thresh)
+
+        # Mosaic iota must be integer; cast to f32 after
+        xs = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1).astype(
+            jnp.float32
+        )
+        ys = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0).astype(
+            jnp.float32
+        )
+
+        def sweep(wi, carry):
+            viol, _ = carry
+            u1 = st_s[0]
+            u2 = st_s[1]
+            mask = err_row * err_col
+            mx = jnp.max(jnp.maximum(jnp.abs(u1), jnp.abs(u2)) * mask)
+            viol = viol + (mx > S).astype(jnp.int32)
+
+            wf = w.astype(jnp.float32)
+            hf = h.astype(jnp.float32)
+            x = jnp.clip(xs + u1, 0.0, wf - 1.0)
+            y = jnp.clip(ys + u2, 0.0, hf - 1.0)
+            x0 = jnp.minimum(jnp.floor(x), wf - 2.0)
+            y0 = jnp.minimum(jnp.floor(y), hf - 2.0)
+            fx = x - x0
+            fy = y - y0
+            sx = jnp.clip(x0 - xs, -S, S).astype(jnp.int32)
+            sy = jnp.clip(y0 - ys, -S, S).astype(jnp.int32)
+            wx0 = hat(fx)
+            wx1 = hat(1.0 - fx)
+            wy0 = hat(fy)
+            wy1 = hat(1.0 - fy)
+            inv_norm = 1.0 / ((wx0 + wx1) * (wy0 + wy1))
+
+            # shift-compose warp of (i1, i1x, i1y), X pass then Y pass.
+            # q walks the tap offset incrementally: one unit roll per
+            # step (cheapest lane/sublane shift) instead of 2S+2
+            # arbitrary rolls. Wrap-around rows/cols are never selected:
+            # sx == s implies 0 <= j + s <= w - 2 (taps clamped inside
+            # the real image).
+            P = pk_s[...]
+            q = pltpu.roll(P, S, 2)
+            acc = jnp.zeros_like(P)
+            for s in range(-S, S + 1):
+                qn = pltpu.roll(q, wp - 1, 2)
+                acc = jnp.where(
+                    (sx == s)[None], wx0[None] * q + wx1[None] * qn, acc
+                )
+                q = qn
+            q = pltpu.roll(acc, S, 1)
+            out = jnp.zeros_like(acc)
+            for s in range(-S, S + 1):
+                qn = pltpu.roll(q, hp - 1, 1)
+                out = jnp.where(
+                    (sy == s)[None], wy0[None] * q + wy1[None] * qn, out
+                )
+                q = qn
+            i1w = inv_norm * out[0]
+            i1wx = inv_norm * out[1]
+            i1wy = inv_norm * out[2]
+            wp_s[0] = i1wx
+            wp_s[1] = i1wy
+            wp_s[2] = i1w - i1wx * u1 - i1wy * u2 - i0
+
+            _, err_fin = jax.lax.while_loop(
+                iter_cond, iter_body, (jnp.int32(0), jnp.float32(jnp.inf))
+            )
+            return viol, err_fin
+
+        viol, err_fin = jax.lax.fori_loop(
+            0, warps, sweep, (jnp.int32(0), jnp.float32(jnp.inf))
+        )
+        err_ref[n, 0] = err_fin
+        viol_ref[n, 0] = viol
+
+        cp_out = pltpu.make_async_copy(st_s, out_ref.at[n], sem_out)
+        cp_out.start()
+        cp_out.wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geo", "l_t", "theta", "taut", "warps", "s_max",
+                     "interpret"),
+)
+def _run_fused(
+    imgs: jnp.ndarray,  # (N, 2, Hp, Wp) f32: i0, i1
+    state: jnp.ndarray,  # (N, 6, Hp, Wp) f32
+    m: jnp.ndarray,  # () int32 iterations per warp
+    h: jnp.ndarray,  # () int32 real rows
+    w: jnp.ndarray,  # () int32 real cols
+    thresh: jnp.ndarray,  # () f32 epsilon exit (< 0 disables)
+    geo: _Geometry,
+    l_t: float,
+    theta: float,
+    taut: float,
+    warps: int,
+    s_max: int,
+    interpret: bool = False,
+):
+    n = imgs.shape[0]
+    kernel = _make_fused_kernel(geo, l_t, theta, taut, warps, s_max)
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    dims = jnp.stack(
+        [m.astype(jnp.int32), h.astype(jnp.int32), w.astype(jnp.int32)]
+    )
+    new_state, errs, viol = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        out_shape=(
+            jax.ShapeDtypeStruct(state.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            hbm_spec,
+            hbm_spec,
+        ],
+        out_specs=(
+            hbm_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, geo.win, geo.wp), jnp.float32),  # i0, i1
+            pltpu.VMEM((3, geo.win, geo.wp), jnp.float32),  # i1, i1x, i1y
+            pltpu.VMEM((3, geo.win, geo.wp), jnp.float32),  # warped
+            pltpu.VMEM((6, geo.win, geo.wp), jnp.float32),  # state
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(dims, thresh.reshape(1).astype(jnp.float32), imgs, state)
+    return new_state, errs, viol
+
+
+@functools.lru_cache(maxsize=512)
+def _fused_level_fn(
+    n: int,
+    shape: Tuple[int, int],
+    next_shape: Optional[Tuple[int, int]],
+    params: TVL1Params,
+    interpret: bool,
+    s_max: int,
+):
+    """ONE jitted program per pyramid level for the fused path: pad to the
+    level's exact tile geometry, run the fused kernel (all warps +
+    iterations in one launch), slice, and upscale the flow to the next
+    finer level. Exactly one distinct Mosaic kernel per program."""
+    h, w = shape
+    geo = _fused_geometry(h, w)
+    l_t = float(params.lambda_ * params.theta)
+    theta = float(params.theta)
+    taut = float(params.tau / params.theta)
+    scaled_eps = float(params.epsilon * params.epsilon * h * w)
+    use_eps = params.epsilon > 0
+    resize = jax.vmap(resize_bilinear, in_axes=(0, None))
+    inv = 1.0 / params.scale_step
+
+    def step(i0, i1, u1, u2):
+        imgs = _pad_hw(jnp.stack([i0, i1], axis=1), geo.hp, geo.wp)
+        state = _pad_hw(
+            jnp.concatenate(
+                [u1[:, None], u2[:, None],
+                 jnp.zeros((n, 4, h, w), jnp.float32)],
+                axis=1,
+            ),
+            geo.hp,
+            geo.wp,
+        )
+        state, _, viol = _run_fused(
+            imgs,
+            state,
+            jnp.int32(params.iterations),
+            jnp.int32(h),
+            jnp.int32(w),
+            jnp.float32(scaled_eps if use_eps else -1.0),
+            geo=geo,
+            l_t=l_t,
+            theta=theta,
+            taut=taut,
+            warps=int(params.warps),
+            s_max=int(s_max),
+            interpret=interpret,
+        )
+        u1 = state[:, 0, :h, :w]
+        u2 = state[:, 1, :h, :w]
+        if next_shape is not None:
+            u1 = resize(u1, next_shape) * inv
+            u2 = resize(u2, next_shape) * inv
+        return u1, u2, viol[:, 0]
+
+    return jax.jit(step)
 
 
 # --- kernel -----------------------------------------------------------------
@@ -406,7 +762,8 @@ def tvl1_flow_level_pallas_batched(
     interpret: bool | None = None,
     canvas: Optional[_Geometry] = None,
     shift_warp: Optional[bool] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_stats: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Batched per-level TV-L1 solve with the fused Pallas iteration kernel.
 
     Matches ops.tvl1.tvl1_flow_level semantics (dual state zeroed at level
@@ -431,7 +788,8 @@ def tvl1_flow_level_pallas_batched(
         )
         if u3 is None:
             u3 = jnp.zeros_like(u1)
-        return sol(i0, i1, u1, u2, u3)
+        out = sol(i0, i1, u1, u2, u3)
+        return out + (jnp.int32(0),) if return_stats else out
     if interpret is None:
         interpret = not _on_tpu()
 
@@ -454,26 +812,56 @@ def tvl1_flow_level_pallas_batched(
         from optflow_tpu.ops.warp import SHIFT_WARP_MAX, warp_backward_shift
 
         def warp_fn(i0_, i1_, i1x_, i1y_, u1_, u2_):
-            # Guarded shift-warp contract (|u| <= SHIFT_WARP_MAX): the
-            # shift-compose warp clamps tap addresses beyond +/-S, so any
-            # flow outside the contract falls back to the exact gather
-            # warp for THIS warp sweep via a traced cond — no silent
-            # degradation, and the fast path costs only two extra
-            # reductions over the flow.
-            exceed = (
-                jnp.maximum(
-                    jnp.max(jnp.abs(u1_)), jnp.max(jnp.abs(u2_))
-                )
-                > SHIFT_WARP_MAX
+            # Guarded shift-warp contract (|u| <= SHIFT_WARP_MAX),
+            # PER IMAGE (r3 verdict #4): one outlier pair no longer drops
+            # the whole batch to the 25x-slower gather warp. Structure:
+            #  - nobody exceeds (the production common case): one batched
+            #    shift-warp, fast path unchanged;
+            #  - someone exceeds: a lax.map over the batch runs the exact
+            #    gather warp for offending images only and the shift warp
+            #    for the rest (sequential over images, but gathers are
+            #    paid only where required).
+            # Returns (outputs..., n_fallback_images) so callers can
+            # surface how often production data leaves the fast path.
+            per_img = jnp.maximum(
+                jnp.max(jnp.abs(u1_), axis=(1, 2)),
+                jnp.max(jnp.abs(u2_), axis=(1, 2)),
             )
-            return jax.lax.cond(
-                exceed,
-                lambda a: gather_warp(*a),
-                lambda a: warp_backward_shift(*a),
-                (i0_, i1_, i1x_, i1y_, u1_, u2_),
+            exceed_i = per_img > SHIFT_WARP_MAX
+            n_fb = jnp.sum(exceed_i.astype(jnp.int32))
+
+            def all_shift(a):
+                return warp_backward_shift(*a[:-1])
+
+            def mixed(a):
+                def body(xs):
+                    ex_one, *imgs = xs
+
+                    def shift_one(t):
+                        outs = warp_backward_shift(
+                            *(x[None] for x in t)
+                        )
+                        return tuple(o[0] for o in outs)
+
+                    return jax.lax.cond(
+                        ex_one,
+                        lambda t: warp_backward(*t),
+                        shift_one,
+                        tuple(imgs),
+                    )
+
+                return jax.lax.map(body, (a[-1],) + a[:-1])
+
+            outs = jax.lax.cond(
+                n_fb > 0,
+                mixed,
+                all_shift,
+                (i0_, i1_, i1x_, i1y_, u1_, u2_, exceed_i),
             )
+            return outs + (n_fb,)
     else:
-        warp_fn = gather_warp
+        def warp_fn(*a):
+            return gather_warp(*a) + (jnp.int32(0),)
     i1x, i1y = grad_fn(i1)
 
     state = _pad_hw(
@@ -496,10 +884,12 @@ def tvl1_flow_level_pallas_batched(
     h_d = jnp.int32(h)
     w_d = jnp.int32(w)
 
+    fb_total = jnp.int32(0)
     for _ in range(params.warps):
         u1c = state[:, 0, :h, :w]
         u2c = state[:, 1, :h, :w]
-        _, i1wx, i1wy, _, rho_c = warp_fn(i0, i1, i1x, i1y, u1c, u2c)
+        _, i1wx, i1wy, _, rho_c, n_fb = warp_fn(i0, i1, i1x, i1y, u1c, u2c)
+        fb_total = fb_total + n_fb
         ro = _pad_hw(jnp.stack([i1wx, i1wy, rho_c], axis=1), geo.hp, geo.wp)
 
         if geo.nb == 1:
@@ -540,6 +930,8 @@ def tvl1_flow_level_pallas_batched(
 
                 state = jax.lax.fori_loop(0, n_chunks, fori_body, state)
 
+    if return_stats:
+        return state[:, 0, :h, :w], state[:, 1, :h, :w], u3, fb_total
     return state[:, 0, :h, :w], state[:, 1, :h, :w], u3
 
 
@@ -605,18 +997,21 @@ def _group_fn(
     def step(level_imgs, u1, u2):
         # level_imgs: tuple of (2N, h, w) stacked (i0, i1) arrays,
         # coarse -> fine, matching ``shapes``
+        fb = jnp.int32(0)
         for idx, stacked in enumerate(level_imgs):
-            u1, u2, _ = tvl1_flow_level_pallas_batched(
+            u1, u2, _, fb_lvl = tvl1_flow_level_pallas_batched(
                 stacked[:n], stacked[n:], u1, u2, params,
                 interpret=interpret, canvas=canvas, shift_warp=shift_warp,
+                return_stats=True,
             )
+            fb = fb + fb_lvl
             nxt = (
                 shapes[idx + 1] if idx + 1 < len(shapes) else up_shape
             )
             if nxt is not None:
                 u1 = resize(u1, nxt) * inv
                 u2 = resize(u2, nxt) * inv
-        return u1, u2
+        return u1, u2, fb
 
     return jax.jit(step)
 
@@ -665,17 +1060,45 @@ def tvl1_flow_batched_pallas(
         u1 = jnp.zeros((n,) + coarsest, jnp.float32)
         u2 = jnp.zeros((n,) + coarsest, jnp.float32)
 
-    # Program grouping. The solve's wall time on the harness v5e is
-    # dominated by PER-PROGRAM dispatch overhead (~16 ms/program through
-    # the tunnel; a 10-level 1-iteration solve costs 178 ms vs 190 ms for
-    # the full default solve — i.e. ~95% dispatch), so levels are fused
-    # into as FEW programs as the worker tolerates: contiguous canvas
-    # groups (one Mosaic kernel binary per group, 2 distinct kernels
-    # total), re-validated by probe (_fault_probe.py: 50 same-geometry
-    # calls/program and 10 calls x 2 geometries both run clean; the r2
-    # "35-call program faults" observation did not reproduce).
-    # OPTFLOW_TPU_SINGLETON_LEVELS=1 restores one-level-per-program with
-    # exact per-level geometry (no canvas padding) as a fallback.
+    # Path selection, from round-4 measurements (tools/probes/r4_budget.py,
+    # value-readback-synced — jax.block_until_ready acks early on axon):
+    # per-program dispatch is ~0.9 ms pipelined (the r2 "95% dispatch"
+    # claim measured the ~32 ms SYNC roundtrip, not dispatch), so program
+    # count barely matters; what dominates is device compute: canvas
+    # padding (~1.7x VPU waste) and per-sweep XLA warp + window re-DMA
+    # (~75 ms of the 227 ms batch). The FUSED path eliminates all three:
+    # one program per level, each a single kernel running every warp
+    # sweep + iteration loop VMEM-resident at the level's exact geometry.
+    use_fused = (
+        not interpret
+        and params.gamma == 0.0
+        and shift_warp is not False
+        and os.environ.get("OPTFLOW_TPU_FUSED", "1") != "0"
+        and os.environ.get("OPTFLOW_TPU_SINGLETON_LEVELS", "") != "1"
+        and all(
+            13 * _round_up(hh, 8) * _round_up(ww, 128) * 4 <= _FUSED_BUDGET
+            for (hh, ww) in shapes
+        )
+    )
+    global _last_fallback_counts
+    if use_fused:
+        from optflow_tpu.ops.warp import SHIFT_WARP_MAX
+
+        viols = []
+        for s in range(len(shapes) - 1, -1, -1):
+            nxt = shapes[s - 1] if s > 0 else None
+            step = _fused_level_fn(
+                n, shapes[s], nxt, params, interpret, int(SHIFT_WARP_MAX)
+            )
+            u1, u2, v = step(levels[s][:n], levels[s][n:], u1, u2)
+            viols.append(v)
+        _last_fallback_counts = viols
+        return jnp.stack([u1, u2], axis=-1)
+
+    # Legacy grouped path (also the CPU/interpret and gather-warp path):
+    # contiguous canvas groups, one Mosaic kernel binary per group, 2
+    # distinct kernels total. OPTFLOW_TPU_SINGLETON_LEVELS=1 restores
+    # one-level-per-program with exact per-level geometry.
     order = list(range(len(shapes) - 1, -1, -1))
     if os.environ.get("OPTFLOW_TPU_SINGLETON_LEVELS", "") == "1":
         groups: list = [(_select_geometry(*shapes[s]), [s]) for s in order]
@@ -687,6 +1110,7 @@ def tvl1_flow_batched_pallas(
                 groups[-1][1].append(s)
             else:
                 groups.append((canvases[s], [s]))
+    fb_counts = []
     for canvas, idxs in groups:
         finest = idxs[-1]
         up_shape = shapes[finest - 1] if finest > 0 else None
@@ -699,6 +1123,43 @@ def tvl1_flow_batched_pallas(
             interpret,
             shift_warp,
         )
-        u1, u2 = step(tuple(levels[s] for s in idxs), u1, u2)
+        u1, u2, fb = step(tuple(levels[s] for s in idxs), u1, u2)
+        fb_counts.append(fb)
+
+    # Shift-warp fallback telemetry: total image-sweeps this solve that
+    # left the fast path (r3 verdict #4). Stored as LAZY device scalars —
+    # reading them here would sync the async dispatch chain; consumers
+    # call get_last_fallback_sweeps() after their own sync point.
+    _last_fallback_counts = fb_counts
 
     return jnp.stack([u1, u2], axis=-1)
+
+
+_last_fallback_counts: list = []
+
+
+def get_last_fallback_sweeps() -> int:
+    """Image-sweeps of the most recent tvl1_flow_batched_pallas call on
+    this thread that left the |u| <= SHIFT_WARP_MAX shift-warp contract
+    (one count = one image x one warp sweep). On the legacy path these
+    sweeps used the exact gather warp; on the fused path the tap shifts
+    were clamped — use :func:`get_last_violation_mask` to re-solve those
+    images exactly. Reading syncs on the solve having finished, so call
+    it after consuming the flow."""
+    return int(sum(int(np.asarray(c).sum()) for c in _last_fallback_counts))
+
+
+def get_last_violation_mask() -> Optional["jnp.ndarray"]:
+    """Per-image bool mask (N,) of the most recent solve: True where any
+    warp sweep violated the shift-warp contract. None when the last solve
+    ran on the legacy path (whole-batch counters only) or no solve ran."""
+    per_image = [
+        c for c in _last_fallback_counts
+        if getattr(c, "ndim", 0) == 1
+    ]
+    if not per_image:
+        return None
+    total = per_image[0]
+    for c in per_image[1:]:
+        total = total + c
+    return total > 0

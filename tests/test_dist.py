@@ -105,6 +105,53 @@ def test_tiled_epe_correct(rng):
     assert mean_epe(tiled, -1.0, 2.0, margin=12) < 0.4
 
 
+def test_tiled_ring_matches_gather(rng):
+    """The ppermute neighbor-ring window assembly (O(halo*W) comms) must
+    be bit-identical to the all_gather fallback — same windows, same
+    clamped boundary slices, on every device (r3 verdict #5)."""
+    mesh = make_pair_mesh(n_pairs_axis=1, n_rows_axis=4)
+    im0 = make_fibsem_like(rng, 128, 96)
+    im1 = translate(im0, 1.5, 0.75)
+    params = TVL1Params(nscales=2, warps=2, iterations=40)
+    ring = np.asarray(
+        tiled_tvl1_flow(jnp.asarray(im0), jnp.asarray(im1), params, mesh,
+                        neighbor_exchange=True)
+    )
+    gathered = np.asarray(
+        tiled_tvl1_flow(jnp.asarray(im0), jnp.asarray(im1), params, mesh,
+                        neighbor_exchange=False)
+    )
+    assert np.array_equal(ring, gathered)
+
+
+def test_tiled_clip_telemetry_and_strict(rng):
+    """Flow beyond the max_flow halo contract is clamped AND reported —
+    and strict mode raises instead (r3 verdict #5: no silent clip)."""
+    from optflow_tpu.dist.tiled import get_last_clip_fraction
+
+    mesh = make_pair_mesh(n_pairs_axis=1, n_rows_axis=4)
+    im0 = make_fibsem_like(rng, 64, 64)
+    # 6 px true shift with max_flow=2: the solve must exceed the contract
+    im1 = translate(im0, 6.0, 0.0)
+    params = TVL1Params(nscales=3, warps=2, iterations=40)
+    flow = np.asarray(
+        tiled_tvl1_flow(jnp.asarray(im0), jnp.asarray(im1), params, mesh,
+                        halo=16, max_flow=2.0)
+    )
+    assert float(np.abs(flow).max()) <= 2.0 + 1e-6
+    assert get_last_clip_fraction() > 0.0
+
+    with pytest.raises(ValueError, match="max_flow"):
+        tiled_tvl1_flow(jnp.asarray(im0), jnp.asarray(im1), params, mesh,
+                        halo=16, max_flow=2.0, strict=True)
+
+    # in-contract solve: zero clip fraction
+    im1b = translate(im0, 1.0, 0.0)
+    tiled_tvl1_flow(jnp.asarray(im0), jnp.asarray(im1b), params, mesh,
+                    halo=16, max_flow=8.0)
+    assert get_last_clip_fraction() == 0.0
+
+
 def test_scheduler_eager_pallas_dispatch_matches_shard_map(rng, monkeypatch):
     """The TPU production dispatch (per-device eager, no collectives) must
     produce the same flows as the shard_map path. CPU CI can't reach it
@@ -130,3 +177,30 @@ def test_scheduler_eager_pallas_dispatch_matches_shard_map(rng, monkeypatch):
         assert out[i].shape == ref[i].shape
         # interpret-mode pallas vs jnp: tight agreement
         assert np.abs(out[i] - ref[i]).max() < 1e-3, i
+
+
+def test_eager_dispatch_accepts_1d_mesh(rng, monkeypatch):
+    """Regression (advisor r2 low / r3 verdict #3): a caller-supplied 1-D
+    ('pairs',) mesh must not IndexError in the eager dispatch path, which
+    used to index mesh.devices[:, 0]."""
+    from jax.sharding import Mesh
+
+    import optflow_tpu.ops.tvl1_pallas as tp
+    from optflow_tpu.dist.mesh import pairs_axis_devices
+
+    devs = jax.devices()[:2]
+    mesh_1d = Mesh(np.asarray(devs), axis_names=("pairs",))
+    assert pairs_axis_devices(mesh_1d) == list(devs)
+
+    # 3-D mesh with pairs in the middle also resolves by name
+    devs8 = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh_3d = Mesh(devs8, axis_names=("rows", "pairs", "cols"))
+    assert pairs_axis_devices(mesh_3d) == [devs8[0, 0, 0], devs8[0, 1, 0]]
+
+    monkeypatch.setattr(tp, "pallas_enabled", lambda: True)
+    params = TVL1Params(nscales=1, warps=1, iterations=5)
+    sched = PairScheduler(mesh_1d, params)
+    assert sched._eager_pallas
+    a = make_fibsem_like(rng, 16, 32)
+    out = sched.solve_pairs([(a, translate(a, 1.0, 0.0))] * 2)
+    assert out[0].shape == (16, 32, 2)

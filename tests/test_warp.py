@@ -179,6 +179,55 @@ def test_shift_warp_matches_gather_warp(rng):
     assert np.allclose(np.asarray(ga[0]), np.asarray(sh[0]), atol=1e-5)
 
 
+def test_shift_warp_guard_is_per_image(rng):
+    """One outlier pair (|u| beyond the shift-warp contract) must NOT drop
+    the whole batch to the gather warp: the other image keeps the fast
+    path bit-for-bit, and the fallback telemetry counts only the outlier's
+    sweeps (r3 verdict #4)."""
+    from optflow_tpu.core.config import TVL1Params
+    from optflow_tpu.ops.tvl1_pallas import tvl1_flow_level_pallas_batched
+    from tests.conftest import make_fibsem_like
+    from tests.test_tvl1 import translate
+
+    h, w = 32, 48
+    im0a = make_fibsem_like(rng, h, w)
+    im1a = translate(im0a, 1.5, -0.5)
+    im0b = make_fibsem_like(rng, h, w)
+    im1b = translate(im0b, 1.0, 1.0)
+    i0 = jnp.stack([jnp.asarray(im0a), jnp.asarray(im0b)])
+    i1 = jnp.stack([jnp.asarray(im1a), jnp.asarray(im1b)])
+    p = TVL1Params(nscales=1, warps=2, iterations=10)
+
+    # image 1 enters the level with a 12 px flow — beyond SHIFT_WARP_MAX
+    u1 = jnp.stack([
+        jnp.zeros((h, w), jnp.float32),
+        jnp.full((h, w), 12.0, jnp.float32),
+    ])
+    u2 = jnp.zeros((2, h, w), jnp.float32)
+    a1, a2, _, fb = tvl1_flow_level_pallas_batched(
+        i0, i1, u1, u2, p, interpret=True, shift_warp=True,
+        return_stats=True,
+    )
+    # only the outlier image falls back; its flow shrinks toward truth so
+    # later sweeps may rejoin the fast path — at least the first sweep
+    # counts, and never more than warps x 1 image
+    assert 1 <= int(fb) <= p.warps, int(fb)
+
+    # the in-contract image is bit-identical to a solo fast-path solve
+    b1, b2, _ = tvl1_flow_level_pallas_batched(
+        i0[:1], i1[:1], u1[:1], u2[:1], p, interpret=True, shift_warp=True,
+    )
+    assert np.array_equal(np.asarray(a1[0]), np.asarray(b1[0]))
+    assert np.array_equal(np.asarray(a2[0]), np.asarray(b2[0]))
+
+    # an all-in-contract batch reports zero fallbacks
+    _, _, _, fb0 = tvl1_flow_level_pallas_batched(
+        i0, i1, jnp.zeros_like(u2), u2, p, interpret=True, shift_warp=True,
+        return_stats=True,
+    )
+    assert int(fb0) == 0
+
+
 def test_pallas_flow_with_shift_warp_converges(rng):
     """Full coarse-to-fine solve with the shift warp recovers a known
     translation to the same EPE as the gather warp (the end-to-end quality
