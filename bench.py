@@ -158,8 +158,40 @@ def _measure(i0_np, i1_np):
             s, _ = solve_and_epe(i0, i1)
             _ = float(s)  # sync
             times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    return dt, epe, epe_oracle
+        # steady-state: enqueue REPS batches back-to-back and sync once —
+        # the production regime (jobs stream thousands of pairs), which
+        # amortizes the per-sync tunnel roundtrip (~32 ms measured) that
+        # the latency loop above pays once per batch. The device runs
+        # programs in order, so the last batch's scalar implies all done.
+        t0 = time.perf_counter()
+        outs = [solve_and_epe(i0, i1)[0] for _ in range(REPS)]
+        _ = float(outs[-1])
+        dt_ss = (time.perf_counter() - t0) / REPS
+    dt_lat = float(np.median(times))
+
+    # MFU: exact useful-iteration count from the fused kernel's per-level
+    # telemetry (epsilon early-exit makes it data-dependent), times the
+    # counted ~82 VPU flops per pixel-iteration, against the v5e VPU peak
+    # (8x128 lanes x 4 ALUs x ~1.5 GHz ~= 6.1 Tf32op/s; clock inferred
+    # from the chip's published 197 bf16 TFLOPs over 4 MXUs).
+    mfu = None
+    px_iters = None
+    try:
+        from optflow_tpu.ops.tvl1_pallas import (
+            ITER_FLOPS_PER_PX,
+            get_last_iteration_stats,
+        )
+
+        stats = get_last_iteration_stats()
+        if stats:
+            px_iters = sum(
+                h_ * w_ * float(np.asarray(its).sum())
+                for (h_, w_), its in stats
+            )
+            mfu = px_iters * ITER_FLOPS_PER_PX / dt_ss / 6.1e12
+    except Exception as e:  # telemetry must never sink the bench
+        print(f"bench: MFU telemetry failed: {e!r}", file=sys.stderr)
+    return dt_ss, dt_lat, epe, epe_oracle, mfu, px_iters
 
 
 def main():
@@ -202,7 +234,9 @@ def main():
                 flush=True,
             )
         try:
-            dt, epe, epe_oracle = _measure(i0_np, i1_np)
+            dt, dt_lat, epe, epe_oracle, mfu, px_iters = _measure(
+                i0_np, i1_np
+            )
             break
         except Exception as e:  # worker crash/restart: retry from scratch
             last_err = e
@@ -238,9 +272,29 @@ def main():
         "platform": platform,
         "kernel": "pallas" if pallas_enabled() else "xla",
         "shape": [BATCH, H, W],
+        # steady-state (pipelined batches, the production regime) and
+        # single-batch latency (includes one ~32 ms tunnel sync)
         "seconds_per_batch": round(dt, 4),
+        "latency_s_per_batch": round(dt_lat, 4),
+        # model flop utilization of the primal-dual iteration work
+        # against the v5e VPU peak (see _measure), plus the measured
+        # useful pixel-iterations per batch (epsilon-exit dependent)
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "gpx_iters_per_batch": (
+            round(px_iters / 1e9, 3) if px_iters is not None else None
+        ),
+        "shift_warp_fallback_sweeps": _fallback_sweeps(),
     }
     print(json.dumps(result))
+
+
+def _fallback_sweeps():
+    try:
+        from optflow_tpu.ops.tvl1_pallas import get_last_fallback_sweeps
+
+        return get_last_fallback_sweeps()
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

@@ -31,12 +31,20 @@ def _emit(rec, out):
 
 
 def _pairs(batch, h, w, seed0=0, misalign=True):
+    """Synthetic pairs with a KNOWN per-pair ground-truth affine.
+
+    Returns (i0s, i1s, affines_true) where affines_true[i] is the 2x3
+    matrix mapping i1 coordinates into i0 content space: i1(p) matches
+    i0(A p) up to the constant (DX, DY) flow — i.e. the matrix the
+    feature pre-alignment (find_alignment(frame1, frame0), the reference
+    call at src/optflow.cpp:373) should recover.
+    """
     import numpy as np
     import scipy.ndimage as ndi
 
     from bench import make_pair, DX, DY
 
-    i0s, i1s = [], []
+    i0s, i1s, affs = [], [], []
     rng = np.random.default_rng(99)
     for i in range(batch):
         a, b = make_pair(h, w, DX, DY, seed=seed0 + i)
@@ -44,16 +52,27 @@ def _pairs(batch, h, w, seed0=0, misalign=True):
             # small rotation+shift the feature pre-alignment must absorb
             th = rng.uniform(-0.01, 0.01)
             c, s = np.cos(th), np.sin(th)
+            tx, ty = rng.uniform(-2, 2), rng.uniform(-2, 2)
             ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
             cx, cy = w / 2, h / 2
-            sx = c * (xs - cx) + s * (ys - cy) + cx + rng.uniform(-2, 2)
-            sy = -s * (xs - cx) + c * (ys - cy) + cy + rng.uniform(-2, 2)
+            sx = c * (xs - cx) + s * (ys - cy) + cx + tx
+            sy = -s * (xs - cx) + c * (ys - cy) + cy + ty
             b = ndi.map_coordinates(b, [sy, sx], order=1, mode="nearest")
+            # i1(p) = im0(M p - d): M = rotation about (cx, cy) plus
+            # (tx, ty), d = the (DX, DY) pair translation (im1(x) =
+            # im0(x - d), bench.make_pair). Matched features therefore
+            # recover A p = M p - d — the pre-alignment absorbs the
+            # whole rigid motion and TV-L1 solves the residual.
+            affs.append(np.array(
+                [[c, s, cx - c * cx - s * cy + tx - DX],
+                 [-s, c, cy + s * cx - c * cy + ty - DY]], np.float64,
+            ))
+        else:
+            affs.append(np.array([[1, 0, 0], [0, 1, 0]], np.float64))
         i0s.append(a)
         i1s.append(b.astype(np.float32))
-    import numpy as np
 
-    return np.stack(i0s), np.stack(i1s)
+    return np.stack(i0s), np.stack(i1s), np.stack(affs)
 
 
 def bench_features(out):
@@ -76,7 +95,7 @@ def bench_features(out):
     surf = SurfParams()
     mp = MatchParams()
 
-    i0_np, i1_np = _pairs(BATCH, H, W)
+    i0_np, i1_np, aff_true = _pairs(BATCH, H, W)
     i0 = jnp.asarray(i0_np)
     i1 = jnp.asarray(i1_np)
 
@@ -84,22 +103,37 @@ def bench_features(out):
     def prealign(a, b):
         res = find_alignment_batched_device(b, a, SURF_TYPE, orb, surf, mp)
         warped = jax.vmap(affine_warp)(b, res.affine)
-        return warped, res.n_good
+        return warped, res.n_good, res.affine
 
     def fn(a, b):
         # pre-align jitted; the TV-L1 solve orchestrated eagerly (the TPU
         # production path — see ops/tvl1_pallas.py)
-        warped, n_good = prealign(a, b)
+        warped, n_good, aff = prealign(a, b)
         flow = tvl1_flow_batched(a, warped, params)
-        return flow[0, 0, 0, 0], jnp.sum(n_good)
+        return flow[0, 0, 0, 0], jnp.sum(n_good), aff
 
-    s, g = fn(i0, i1)
+    s, g, aff = fn(i0, i1)
     _ = float(s)
     n_good = int(g)
+    # Accuracy gate at bench scale (r3 verdict #2): mean displacement
+    # error of the RECOVERED affine vs the known synthetic misalignment,
+    # evaluated over the image corners (the worst-case points of an
+    # affine error). The RANSAC reproj threshold is 5 px; a correct
+    # alignment lands well under 1 px.
+    corners = np.array(
+        [[0, 0, 1], [W - 1, 0, 1], [0, H - 1, 1], [W - 1, H - 1, 1]],
+        np.float64,
+    ).T  # (3, 4)
+    aff_np = np.asarray(aff, np.float64)
+    errs = [
+        float(np.abs(aff_np[i] @ corners - aff_true[i] @ corners).max())
+        for i in range(BATCH)
+    ]
+    affine_err = float(np.mean(errs))
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        s, _g = fn(i0, i1)
+        s, _g, _a = fn(i0, i1)
         _ = float(s)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
@@ -111,6 +145,9 @@ def bench_features(out):
         "platform": jax.devices()[0].platform,
         "seconds_per_batch": round(dt, 4),
         "good_matches_total": n_good,
+        "affine_corner_err_px": round(affine_err, 3),
+        "affine_corner_err_max_px": round(float(np.max(errs)), 3),
+        "affine_ok": affine_err <= 1.0,
         "shape": [BATCH, H, W],
     }, out)
 

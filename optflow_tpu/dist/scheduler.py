@@ -104,7 +104,22 @@ class PairScheduler:
                 def one_device(dev, a_np, b_np):
                     a = jax.device_put(a_np, dev)
                     b = jax.device_put(b_np, dev)
-                    return tvl1_flow_batched(a, b, params)
+                    flow = tvl1_flow_batched(a, b, params)
+                    # exact-semantics repair for fused-path shift-warp
+                    # contract violations (thread-local telemetry; the
+                    # mask read syncs this device's chain — rare, and
+                    # contained to this dispatch thread)
+                    from optflow_tpu.ops.tvl1_pallas import (
+                        get_last_violation_mask,
+                        resolve_contract_violations,
+                    )
+
+                    mask = get_last_violation_mask()
+                    if mask is not None and bool(np.asarray(mask).any()):
+                        flow = jnp.asarray(
+                            resolve_contract_violations(flow, a, b, params)
+                        )
+                    return flow
 
                 def dispatch(i0s_np, i1s_np):
                     n = i0s_np.shape[0]

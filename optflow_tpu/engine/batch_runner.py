@@ -120,6 +120,21 @@ def _batched_solver(h: int, w: int, params: TVL1Params, mode: str, mesh):
                 b = jax.device_put(b, dev)
                 af = jax.device_put(af, dev)
             flow = tvl1_flow_batched(a, b, params)
+            # exact-semantics repair: fused-path sweeps beyond the
+            # shift-warp contract clamp taps; re-solve those images with
+            # the gather warp (telemetry is thread-local — this thread's
+            # last solve). The engine syncs right after this call anyway,
+            # so the mask read moves the sync, it doesn't add one.
+            from optflow_tpu.ops.tvl1_pallas import (
+                get_last_violation_mask,
+                resolve_contract_violations,
+            )
+
+            mask = get_last_violation_mask()
+            if mask is not None and bool(np.asarray(mask).any()):
+                flow = jnp.asarray(
+                    resolve_contract_violations(flow, a, b, params)
+                )
             return post_j(flow, a, b, af)
 
         def eager(i0s, i1s, affines):

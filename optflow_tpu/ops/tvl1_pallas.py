@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -82,14 +83,17 @@ _CHUNK_WINDOW_BUDGET = int(2.5 * 1024 * 1024)
 _DEFAULT_K = 8  # halo rows == iterations per chunk in multi-block mode
 _CANVAS_B_BUDGET = int(3.3 * 1024 * 1024)  # scratch cap for the small canvas
 
-# Fused-level kernel budget: 13 resident arrays (2 images + 2 gradients +
-# 3 warped + 6 state) plus roll/select temporaries. Physical VMEM on the
-# v5e is ~128 MiB (tools/probes/r4_vmem_cap.py ran 127 MiB of scratch
-# clean — the round-2 "~16 MiB" calibration was the DEFAULT
-# vmem_limit_bytes, not the hardware), so whole levels up to ~1 Mpx stay
-# resident.
-_FUSED_BUDGET = 52 * 1024 * 1024  # 13-array scratch bytes
-_FUSED_VMEM_LIMIT = 100 * 1024 * 1024
+# Fused-level kernel budget. Physical VMEM on the v5e is ~128 MiB
+# (tools/probes/r4_vmem_cap.py ran 127 MiB of scratch clean — the
+# round-2 "~16 MiB" calibration was the DEFAULT vmem_limit_bytes, not
+# the hardware). Mosaic's scoped-vmem accounting for this kernel costs
+# ~61 array-slots per pixel (13 resident scratch arrays + warp/iteration
+# temporaries alive across the loops; measured from the compiler's
+# "scoped allocation 107.62M" report at (G=16, 72, 384)), i.e. ~250
+# bytes/px. The stack picker and geometry checks budget against that.
+_FUSED_VMEM_LIMIT = 110 * 1024 * 1024
+_FUSED_BYTES_PER_PX = 250
+_FUSED_PX_BUDGET = int(_FUSED_VMEM_LIMIT * 0.92) // _FUSED_BYTES_PER_PX
 
 
 def _vmem_limit(geo: "_Geometry") -> int:
@@ -167,12 +171,28 @@ def _fused_geometry(h: int, w: int) -> _Geometry:
     chunking: the in-kernel warp's row shifts need the full height)."""
     hp = _round_up(h, 8)
     wp = _round_up(w, 128)
-    assert 13 * hp * wp * 4 <= _FUSED_BUDGET, (h, w)
+    assert hp * wp <= _FUSED_PX_BUDGET, (h, w)
     return _Geometry(hp, wp, hp, 0, hp, 1)
+
+
+def _pick_stack(n: int, geo: _Geometry) -> int:
+    """Images per kernel invocation. Coarse pyramid levels are LATENCY
+    bound — hundreds of while-loop iterations whose per-step reduce and
+    branch overhead dwarfs the ~10k px of VPU work — so as many images as
+    fit the VMEM budget share one invocation (their arrays stacked on a
+    leading axis; rolls on the trailing row/col axes never mix images).
+    Returns the largest divisor of n whose stacked scratch fits."""
+    g = 1
+    for cand in range(n, 0, -1):
+        if n % cand == 0 and cand * geo.hp * geo.wp <= _FUSED_PX_BUDGET:
+            g = cand
+            break
+    return g
 
 
 def _make_fused_kernel(
     geo: _Geometry,
+    g: int,
     l_t: float,
     theta: float,
     taut: float,
@@ -192,23 +212,33 @@ def _make_fused_kernel(
     Physical VMEM on the v5e is ~128 MiB (tools/probes/r4_vmem_cap.py),
     so the 14 resident arrays fit whole levels up to ~1 Mpx.
 
-    Contract handling is PER IMAGE and in-kernel: a sweep whose masked
-    max|u| exceeds s_max has its tap shifts clamped (bounded sampling
-    error) and increments this image's violation counter output; callers
+    Contract handling is in-kernel: a sweep whose masked max|u| exceeds
+    s_max has its tap shifts clamped (bounded sampling error) and
+    increments this invocation's violation counter output; callers
     surface the counts (get_last_fallback_sweeps) and can re-solve
     offending images with the exact gather-warp path. In production
     (max_flow <= 8 contract, BASELINE.md) the counter stays 0.
+
+    ``g`` images share each invocation (grid step), stacked on a leading
+    axis of every scratch array: rolls run on the trailing row/col axes
+    so images never mix, the boundary masks broadcast over the stack,
+    and the epsilon exit criterion becomes TOTAL squared update of the
+    stack under the SINGLE-image threshold — strictly more converged
+    than the reference's per-image exit. Stacking amortizes the
+    invocation + while-loop-step latency that dominates coarse levels.
     """
     hp, wp, block, halo, win, nb = geo
     assert nb == 1
     S = int(s_max)
+    G = int(g)
 
     def hat(t):
         # central lobe of the Catmull-Rom cubic on t in [0, 1]
         return t * t * (1.5 * t - 2.5) + 1.0
 
     def kernel(dims_ref, thr_ref, img_ref, st_ref, out_ref, err_ref,
-               viol_ref, img_s, pk_s, wp_s, st_s, sem_in, sem_out):
+               viol_ref, iters_ref, img_s, pk_s, wp_s, st_s, sem_in,
+               sem_out):
         m = dims_ref[0]
         h = dims_ref[1]
         w = dims_ref[2]
@@ -222,6 +252,9 @@ def _make_fused_kernel(
         cp_img.wait()
         cp_st.wait()
 
+        # values carry a leading stack axis: (G, hp, wp); masks are 2D and
+        # broadcast over it. Row/col rolls act on the trailing axes, so
+        # stacked images never exchange rows.
         rows = jax.lax.broadcasted_iota(jnp.int32, (hp, 1), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
         first_row = rows == 0
@@ -235,13 +268,13 @@ def _make_fused_kernel(
         i1 = img_s[1]
         # centered gradient of i1, replicate border at the REAL h x w
         # (ops/warp.py centered_gradient semantics)
-        nxt = pltpu.roll(i1, wp - 1, 1)
-        prv = pltpu.roll(i1, 1, 1)
+        nxt = pltpu.roll(i1, wp - 1, 2)
+        prv = pltpu.roll(i1, 1, 2)
         gx = 0.5 * (
             jnp.where(last_col, i1, nxt) - jnp.where(first_col, i1, prv)
         )
-        dwn = pltpu.roll(i1, hp - 1, 0)
-        up = pltpu.roll(i1, 1, 0)
+        dwn = pltpu.roll(i1, hp - 1, 1)
+        up = pltpu.roll(i1, 1, 1)
         gy = 0.5 * (
             jnp.where(last_row, i1, dwn) - jnp.where(first_row, i1, up)
         )
@@ -250,18 +283,20 @@ def _make_fused_kernel(
         pk_s[2] = gy
 
         def div(p1, p2):
-            dx = p1 - pltpu.roll(p1, 1, 1)
+            dx = p1 - pltpu.roll(p1, 1, 2)
             dx = jnp.where(first_col, p1, dx)
-            dy = p2 - pltpu.roll(p2, 1, 0)
+            dy = p2 - pltpu.roll(p2, 1, 1)
             dy = jnp.where(first_row, p2, dy)
             return dx + dy
 
         def fwd_grad(u):
-            ux = pltpu.roll(u, wp - 1, 1) - u
+            ux = pltpu.roll(u, wp - 1, 2) - u
             ux = jnp.where(last_col, 0.0, ux)
-            uy = pltpu.roll(u, win - 1, 0) - u
+            uy = pltpu.roll(u, hp - 1, 1) - u
             uy = jnp.where(last_row, 0.0, uy)
             return ux, uy
+
+        ones_col = jnp.ones((wp, 1), jnp.float32)
 
         def iter_body(carry):
             it, _ = carry
@@ -287,9 +322,21 @@ def _make_fused_kernel(
             )
             u1n = u1 + d1 + theta * div(st_s[2], st_s[3])
             u2n = u2 + d2 + theta * div(st_s[4], st_s[5])
-            err = jnp.sum(
-                ((u1n - u1) ** 2 + (u2n - u2) ** 2) * err_row * err_col
-            )
+            # Exit on the MAX of the per-image squared-update errors so
+            # the epsilon exit keeps the reference's per-image
+            # granularity: the loop runs until the SLOWEST stacked image
+            # converges (a stack-total criterion was measured 33% slower
+            # end-to-end — it forced near-max iterations on every coarse
+            # group). Mosaic cannot emit rank-1 reduction outputs
+            # (layout_rank/implicit-dim crashes), so the per-image totals
+            # of the G > 1 case come from an MXU dot with a ones vector:
+            # (G, wp) @ (wp, 1) stays rank-2 end to end.
+            sq = ((u1n - u1) ** 2 + (u2n - u2) ** 2) * err_row * err_col
+            if G == 1:
+                err = jnp.sum(sq)
+            else:
+                partial = jnp.sum(sq, axis=1)  # (G, wp)
+                err = jnp.max(jnp.dot(partial, ones_col))
             st_s[0] = u1n
             st_s[1] = u2n
             u1x, u1y = fwd_grad(u1n)
@@ -315,7 +362,7 @@ def _make_fused_kernel(
         )
 
         def sweep(wi, carry):
-            viol, _ = carry
+            viol, iters, _ = carry
             u1 = st_s[0]
             u2 = st_s[1]
             mask = err_row * err_col
@@ -344,19 +391,19 @@ def _make_fused_kernel(
             # arbitrary rolls. Wrap-around rows/cols are never selected:
             # sx == s implies 0 <= j + s <= w - 2 (taps clamped inside
             # the real image).
-            P = pk_s[...]
-            q = pltpu.roll(P, S, 2)
+            P = pk_s[...]  # (3, G, hp, wp): cols axis 3, rows axis 2
+            q = pltpu.roll(P, S, 3)
             acc = jnp.zeros_like(P)
             for s in range(-S, S + 1):
-                qn = pltpu.roll(q, wp - 1, 2)
+                qn = pltpu.roll(q, wp - 1, 3)
                 acc = jnp.where(
                     (sx == s)[None], wx0[None] * q + wx1[None] * qn, acc
                 )
                 q = qn
-            q = pltpu.roll(acc, S, 1)
+            q = pltpu.roll(acc, S, 2)
             out = jnp.zeros_like(acc)
             for s in range(-S, S + 1):
-                qn = pltpu.roll(q, hp - 1, 1)
+                qn = pltpu.roll(q, hp - 1, 2)
                 out = jnp.where(
                     (sy == s)[None], wy0[None] * q + wy1[None] * qn, out
                 )
@@ -368,16 +415,18 @@ def _make_fused_kernel(
             wp_s[1] = i1wy
             wp_s[2] = i1w - i1wx * u1 - i1wy * u2 - i0
 
-            _, err_fin = jax.lax.while_loop(
+            it_fin, err_fin = jax.lax.while_loop(
                 iter_cond, iter_body, (jnp.int32(0), jnp.float32(jnp.inf))
             )
-            return viol, err_fin
+            return viol, iters + it_fin, err_fin
 
-        viol, err_fin = jax.lax.fori_loop(
-            0, warps, sweep, (jnp.int32(0), jnp.float32(jnp.inf))
+        viol, iters, err_fin = jax.lax.fori_loop(
+            0, warps, sweep,
+            (jnp.int32(0), jnp.int32(0), jnp.float32(jnp.inf)),
         )
         err_ref[n, 0] = err_fin
         viol_ref[n, 0] = viol
+        iters_ref[n, 0] = iters
 
         cp_out = pltpu.make_async_copy(st_s, out_ref.at[n], sem_out)
         cp_out.start()
@@ -388,17 +437,18 @@ def _make_fused_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("geo", "l_t", "theta", "taut", "warps", "s_max",
+    static_argnames=("geo", "g", "l_t", "theta", "taut", "warps", "s_max",
                      "interpret"),
 )
 def _run_fused(
-    imgs: jnp.ndarray,  # (N, 2, Hp, Wp) f32: i0, i1
-    state: jnp.ndarray,  # (N, 6, Hp, Wp) f32
+    imgs: jnp.ndarray,  # (NG, 2, G, Hp, Wp) f32: i0, i1
+    state: jnp.ndarray,  # (NG, 6, G, Hp, Wp) f32
     m: jnp.ndarray,  # () int32 iterations per warp
     h: jnp.ndarray,  # () int32 real rows
     w: jnp.ndarray,  # () int32 real cols
     thresh: jnp.ndarray,  # () f32 epsilon exit (< 0 disables)
     geo: _Geometry,
+    g: int,
     l_t: float,
     theta: float,
     taut: float,
@@ -406,19 +456,20 @@ def _run_fused(
     s_max: int,
     interpret: bool = False,
 ):
-    n = imgs.shape[0]
-    kernel = _make_fused_kernel(geo, l_t, theta, taut, warps, s_max)
+    ng = imgs.shape[0]
+    kernel = _make_fused_kernel(geo, g, l_t, theta, taut, warps, s_max)
     hbm_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     dims = jnp.stack(
         [m.astype(jnp.int32), h.astype(jnp.int32), w.astype(jnp.int32)]
     )
-    new_state, errs, viol = pl.pallas_call(
+    new_state, errs, viol, iters = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(ng,),
         out_shape=(
             jax.ShapeDtypeStruct(state.shape, jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((ng, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ng, 1), jnp.int32),
+            jax.ShapeDtypeStruct((ng, 1), jnp.int32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -430,12 +481,13 @@ def _run_fused(
             hbm_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, geo.win, geo.wp), jnp.float32),  # i0, i1
-            pltpu.VMEM((3, geo.win, geo.wp), jnp.float32),  # i1, i1x, i1y
-            pltpu.VMEM((3, geo.win, geo.wp), jnp.float32),  # warped
-            pltpu.VMEM((6, geo.win, geo.wp), jnp.float32),  # state
+            pltpu.VMEM((2, g, geo.win, geo.wp), jnp.float32),  # i0, i1
+            pltpu.VMEM((3, g, geo.win, geo.wp), jnp.float32),  # i1, gx, gy
+            pltpu.VMEM((3, g, geo.win, geo.wp), jnp.float32),  # warped
+            pltpu.VMEM((6, g, geo.win, geo.wp), jnp.float32),  # state
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -444,7 +496,7 @@ def _run_fused(
         ),
         interpret=interpret,
     )(dims, thresh.reshape(1).astype(jnp.float32), imgs, state)
-    return new_state, errs, viol
+    return new_state, errs, viol, iters
 
 
 @functools.lru_cache(maxsize=512)
@@ -462,6 +514,8 @@ def _fused_level_fn(
     finer level. Exactly one distinct Mosaic kernel per program."""
     h, w = shape
     geo = _fused_geometry(h, w)
+    g = _pick_stack(n, geo)
+    ng = n // g
     l_t = float(params.lambda_ * params.theta)
     theta = float(params.theta)
     taut = float(params.tau / params.theta)
@@ -470,18 +524,24 @@ def _fused_level_fn(
     resize = jax.vmap(resize_bilinear, in_axes=(0, None))
     inv = 1.0 / params.scale_step
 
+    def stack(x):  # (N, C, hp, wp) -> (N/G, C, G, hp, wp)
+        c = x.shape[1]
+        return x.reshape(ng, g, c, geo.hp, geo.wp).transpose(0, 2, 1, 3, 4)
+
     def step(i0, i1, u1, u2):
-        imgs = _pad_hw(jnp.stack([i0, i1], axis=1), geo.hp, geo.wp)
-        state = _pad_hw(
-            jnp.concatenate(
-                [u1[:, None], u2[:, None],
-                 jnp.zeros((n, 4, h, w), jnp.float32)],
-                axis=1,
-            ),
-            geo.hp,
-            geo.wp,
+        imgs = stack(_pad_hw(jnp.stack([i0, i1], axis=1), geo.hp, geo.wp))
+        state = stack(
+            _pad_hw(
+                jnp.concatenate(
+                    [u1[:, None], u2[:, None],
+                     jnp.zeros((n, 4, h, w), jnp.float32)],
+                    axis=1,
+                ),
+                geo.hp,
+                geo.wp,
+            )
         )
-        state, _, viol = _run_fused(
+        state, _, viol, iters = _run_fused(
             imgs,
             state,
             jnp.int32(params.iterations),
@@ -489,6 +549,7 @@ def _fused_level_fn(
             jnp.int32(w),
             jnp.float32(scaled_eps if use_eps else -1.0),
             geo=geo,
+            g=g,
             l_t=l_t,
             theta=theta,
             taut=taut,
@@ -496,12 +557,20 @@ def _fused_level_fn(
             s_max=int(s_max),
             interpret=interpret,
         )
+        state = state.transpose(0, 2, 1, 3, 4).reshape(
+            n, 6, geo.hp, geo.wp
+        )
         u1 = state[:, 0, :h, :w]
         u2 = state[:, 1, :h, :w]
         if next_shape is not None:
             u1 = resize(u1, next_shape) * inv
             u2 = resize(u2, next_shape) * inv
-        return u1, u2, viol[:, 0]
+        # per-invocation counters attributed to each stacked image (a
+        # stacked violation is conservative: any image in the group may
+        # have been the offender)
+        viol_img = jnp.repeat(viol[:, 0], g)
+        iters_img = jnp.repeat(iters[:, 0], g)
+        return u1, u2, viol_img, iters_img
 
     return jax.jit(step)
 
@@ -1076,23 +1145,25 @@ def tvl1_flow_batched_pallas(
         and os.environ.get("OPTFLOW_TPU_FUSED", "1") != "0"
         and os.environ.get("OPTFLOW_TPU_SINGLETON_LEVELS", "") != "1"
         and all(
-            13 * _round_up(hh, 8) * _round_up(ww, 128) * 4 <= _FUSED_BUDGET
+            _round_up(hh, 8) * _round_up(ww, 128) <= _FUSED_PX_BUDGET
             for (hh, ww) in shapes
         )
     )
-    global _last_fallback_counts
     if use_fused:
         from optflow_tpu.ops.warp import SHIFT_WARP_MAX
 
         viols = []
+        iter_stats = []
         for s in range(len(shapes) - 1, -1, -1):
             nxt = shapes[s - 1] if s > 0 else None
             step = _fused_level_fn(
                 n, shapes[s], nxt, params, interpret, int(SHIFT_WARP_MAX)
             )
-            u1, u2, v = step(levels[s][:n], levels[s][n:], u1, u2)
+            u1, u2, v, its = step(levels[s][:n], levels[s][n:], u1, u2)
             viols.append(v)
-        _last_fallback_counts = viols
+            iter_stats.append((shapes[s], its))
+        _telemetry.fallback_counts = viols
+        _telemetry.iteration_stats = iter_stats
         return jnp.stack([u1, u2], axis=-1)
 
     # Legacy grouped path (also the CPU/interpret and gather-warp path):
@@ -1130,12 +1201,22 @@ def tvl1_flow_batched_pallas(
     # left the fast path (r3 verdict #4). Stored as LAZY device scalars —
     # reading them here would sync the async dispatch chain; consumers
     # call get_last_fallback_sweeps() after their own sync point.
-    _last_fallback_counts = fb_counts
+    _telemetry.fallback_counts = fb_counts
+    _telemetry.iteration_stats = []
 
     return jnp.stack([u1, u2], axis=-1)
 
 
-_last_fallback_counts: list = []
+class _Telemetry(threading.local):
+    """Per-thread solve telemetry: the engine's threaded per-device
+    dispatch means "the most recent solve" is a per-thread notion."""
+
+    def __init__(self):
+        self.fallback_counts: list = []
+        self.iteration_stats: list = []
+
+
+_telemetry = _Telemetry()
 
 
 def get_last_fallback_sweeps() -> int:
@@ -1146,7 +1227,57 @@ def get_last_fallback_sweeps() -> int:
     were clamped — use :func:`get_last_violation_mask` to re-solve those
     images exactly. Reading syncs on the solve having finished, so call
     it after consuming the flow."""
-    return int(sum(int(np.asarray(c).sum()) for c in _last_fallback_counts))
+    return int(
+        sum(int(np.asarray(c).sum()) for c in _telemetry.fallback_counts)
+    )
+
+
+# Counted f32 VPU ops per pixel per primal-dual iteration of the fused
+# kernel body (iter_body): thresholding 20, divergence 10, primal update
+# 6, err reduction 8, forward gradients 8, dual norms 12, dual updates
+# 12, misc selects/compares 6 — rolls and DMA excluded. Used for the
+# bench's MFU estimate.
+ITER_FLOPS_PER_PX = 82
+
+
+def get_last_iteration_stats() -> list:
+    """Per-level ((h, w), per-image-iteration-count array) of the most
+    recent FUSED tvl1_flow_batched_pallas call on this thread. One count
+    = one primal-dual iteration over that level's real h x w pixels
+    (summed over warp sweeps). Reading the arrays syncs on the solve.
+    Empty when the last solve ran on the legacy path."""
+    return list(_telemetry.iteration_stats)
+
+
+def resolve_contract_violations(
+    flow,
+    i0s: jnp.ndarray,
+    i1s: jnp.ndarray,
+    params: TVL1Params,
+) -> np.ndarray:
+    """Exact-semantics repair for the fused path: re-solve the images
+    whose warp sweeps violated the |u| <= SHIFT_WARP_MAX contract (tap
+    shifts were clamped there) with the gather-warp legacy path — the
+    reference warp has no magnitude ceiling (src/optflow.cpp:506-510).
+    Call at a point that already consumes ``flow`` (the mask read then
+    costs no extra sync). Returns the (possibly repaired) flow as a
+    numpy array. No-op when the last solve ran on the legacy path or
+    nothing violated — the production common case."""
+    mask = get_last_violation_mask()
+    flow_np = np.asarray(flow)
+    if mask is None:
+        return flow_np
+    m = np.asarray(mask)
+    if not m.any():
+        return flow_np
+    idx = np.nonzero(m)[0]
+    exact = tvl1_flow_batched_pallas(
+        jnp.asarray(i0s)[idx], jnp.asarray(i1s)[idx], params,
+        shift_warp=False,
+    )
+    flow_np = flow_np.copy()
+    flow_np[idx] = np.asarray(exact)
+    return flow_np
 
 
 def get_last_violation_mask() -> Optional["jnp.ndarray"]:
@@ -1154,7 +1285,7 @@ def get_last_violation_mask() -> Optional["jnp.ndarray"]:
     warp sweep violated the shift-warp contract. None when the last solve
     ran on the legacy path (whole-batch counters only) or no solve ran."""
     per_image = [
-        c for c in _last_fallback_counts
+        c for c in _telemetry.fallback_counts
         if getattr(c, "ndim", 0) == 1
     ]
     if not per_image:

@@ -151,3 +151,97 @@ def test_gamma_falls_back_to_jnp(rng):
     )
     assert np.allclose(np.asarray(a1), np.asarray(b1), atol=1e-6)
     assert np.allclose(np.asarray(a3), np.asarray(b3), atol=1e-6)
+
+
+def test_fused_level_matches_legacy_level(rng):
+    """The fused whole-level kernel (warp + all sweeps + iterations in
+    one launch — the r4 TPU production path) is bit-identical to the
+    legacy per-sweep level path with the shift warp, in interpret mode."""
+    from optflow_tpu.ops.tvl1_pallas import (
+        _fused_level_fn,
+        tvl1_flow_level_pallas_batched,
+    )
+
+    h, w = 40, 56
+    im0 = make_fibsem_like(rng, h, w)
+    im1 = translate(im0, 1.5, -0.5)
+    p = TVL1Params(nscales=1, warps=3, iterations=50)
+    i0 = jnp.asarray(im0)[None]
+    i1 = jnp.asarray(im1)[None]
+    u = jnp.zeros((1, h, w), jnp.float32)
+
+    step = _fused_level_fn(1, (h, w), None, p, True, 8)
+    fu1, fu2, viol, iters = step(i0, i1, u, u)
+    assert int(viol[0]) == 0
+    assert int(iters[0]) > 0
+
+    ru1, ru2, _ = tvl1_flow_level_pallas_batched(
+        i0, i1, u, u, p, interpret=True, shift_warp=True
+    )
+    assert np.array_equal(np.asarray(fu1), np.asarray(ru1))
+    assert np.array_equal(np.asarray(fu2), np.asarray(ru2))
+
+
+def test_fused_stacking_is_bit_exact(rng):
+    """Stacking G images per kernel invocation (coarse-level latency
+    amortization) must not change numerics: with the epsilon exit
+    disabled (fixed iteration count) the G=4 stacked solve equals four
+    independent G=1 solves bit for bit."""
+    from optflow_tpu.ops.tvl1_pallas import (
+        _fused_geometry,
+        _fused_level_fn,
+        _pick_stack,
+    )
+
+    h, w, n = 24, 40, 4
+    i0s, i1s = [], []
+    for k in range(n):
+        a = make_fibsem_like(rng, h, w)
+        i0s.append(a)
+        i1s.append(translate(a, 1.0, 0.4 * (k + 1) / n))
+    i0 = jnp.asarray(np.stack(i0s))
+    i1 = jnp.asarray(np.stack(i1s))
+    u = jnp.zeros((n, h, w), jnp.float32)
+    p = TVL1Params(nscales=1, warps=2, iterations=30, epsilon=0.0)
+
+    assert _pick_stack(n, _fused_geometry(h, w)) == n  # small level stacks
+    s1, s2, _, iters = _fused_level_fn(n, (h, w), None, p, True, 8)(
+        i0, i1, u, u
+    )
+    assert list(np.asarray(iters)) == [60] * n  # warps * iterations, no exit
+
+    solo = _fused_level_fn(1, (h, w), None, p, True, 8)
+    for k in range(n):
+        b1, b2, _, _ = solo(i0[k:k + 1], i1[k:k + 1], u[:1], u[:1])
+        assert np.array_equal(np.asarray(s1[k]), np.asarray(b1[0]))
+        assert np.array_equal(np.asarray(s2[k]), np.asarray(b2[0]))
+
+
+def test_resolve_contract_violations_repairs_offenders(rng):
+    """After a fused solve flags shift-contract violations, the repair
+    helper re-solves exactly the offending images with the gather warp
+    and leaves the rest untouched."""
+    import optflow_tpu.ops.tvl1_pallas as tp
+
+    h, w = 32, 48
+    a = make_fibsem_like(rng, h, w)
+    i0 = jnp.asarray(np.stack([a, a]))
+    i1 = jnp.asarray(np.stack([translate(a, 1.0, 0.0),
+                               translate(a, 1.0, 0.0)]))
+    p = TVL1Params(nscales=1, warps=1, iterations=5)
+    flow = jnp.zeros((2, h, w, 2), jnp.float32)
+
+    # fabricate telemetry: image 1 violated
+    tp._telemetry.fallback_counts = [jnp.asarray([0, 3], jnp.int32)]
+    mask = tp.get_last_violation_mask()
+    assert mask is not None and list(np.asarray(mask)) == [False, True]
+
+    repaired = tp.resolve_contract_violations(flow, i0, i1, p)
+    # untouched image 0, re-solved image 1 (gather-warp path, real flow)
+    assert np.array_equal(repaired[0], np.zeros((h, w, 2), np.float32))
+    assert float(np.abs(repaired[1]).max()) > 0.1
+
+    # no violations -> identity
+    tp._telemetry.fallback_counts = [jnp.asarray([0, 0], jnp.int32)]
+    same = tp.resolve_contract_violations(flow, i0, i1, p)
+    assert np.array_equal(same, np.asarray(flow))
