@@ -155,8 +155,10 @@ def test_gamma_falls_back_to_jnp(rng):
 
 def test_fused_level_matches_legacy_level(rng):
     """The fused whole-level kernel (warp + all sweeps + iterations in
-    one launch — the r4 TPU production path) is bit-identical to the
-    legacy per-sweep level path with the shift warp, in interpret mode."""
+    one launch — the r4 TPU production path) matches the legacy
+    per-sweep level path with the shift warp, in interpret mode. Not bit
+    equality: the fused body multiplies by reciprocals where the legacy
+    kernel divides (one extra rounding per dual update)."""
     from optflow_tpu.ops.tvl1_pallas import (
         _fused_level_fn,
         tvl1_flow_level_pallas_batched,
@@ -178,8 +180,11 @@ def test_fused_level_matches_legacy_level(rng):
     ru1, ru2, _ = tvl1_flow_level_pallas_batched(
         i0, i1, u, u, p, interpret=True, shift_warp=True
     )
-    assert np.array_equal(np.asarray(fu1), np.asarray(ru1))
-    assert np.array_equal(np.asarray(fu2), np.asarray(ru2))
+    # 150 accumulating iterations amplify the per-update last-bit
+    # difference to a few millipixels; both fields sit on the same
+    # fixpoint (truth 1.5 px here, EPE gated elsewhere)
+    assert np.abs(np.asarray(fu1) - np.asarray(ru1)).max() < 0.01
+    assert np.abs(np.asarray(fu2) - np.asarray(ru2)).max() < 0.01
 
 
 def test_fused_stacking_is_bit_exact(rng):
