@@ -183,6 +183,77 @@ def bench_features(out):
     }, out)
 
 
+def bench_features_chained(out):
+    """Config #3 in the PRODUCTION pair pattern: a chained z-stack where
+    consecutive pairs share frames (the reference's pair graphs reuse
+    every frame in up to 6 pairs, gen_cross_file_list.py z-dist <= 3).
+    Detect + describe run once per unique frame via
+    find_alignment_indexed — the engine's batched prealigner uses the
+    same dedup path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.ndimage as ndi
+
+    from bench import make_pair, DX, DY
+    from optflow_tpu.core.config import (
+        MatchParams, OrbParams, SurfParams, SURF_TYPE, TVL1Params,
+    )
+    from optflow_tpu.features.align import find_alignment_indexed
+    from optflow_tpu.ops.tvl1 import tvl1_flow_batched
+    from optflow_tpu.ops.warp import affine_warp
+
+    H, W, NPAIRS = 256, 1024, 16
+    params = TVL1Params()
+    orb, surf, mp = OrbParams(), SurfParams(), MatchParams()
+
+    base, _ = make_pair(H, W, DX, DY, seed=0)
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+    frames = [base]
+    for i in range(NPAIRS):
+        frames.append(ndi.map_coordinates(
+            frames[-1], [ys + 0.8, xs - 1.5], order=1, mode="nearest"
+        ).astype(np.float32))
+    frames_d = jnp.asarray(np.stack(frames))  # (17, H, W)
+    i0_idx = jnp.arange(NPAIRS, dtype=jnp.int32)
+    i1_idx = i0_idx + 1
+
+    @jax.jit
+    def prealign(fr):
+        res = find_alignment_indexed(
+            fr, i1_idx, i0_idx, SURF_TYPE, orb, surf, mp
+        )
+        warped = jax.vmap(affine_warp)(fr[i1_idx], res.affine)
+        return warped, res.n_good
+
+    def fn(fr):
+        warped, n_good = prealign(fr)
+        flow = tvl1_flow_batched(fr[:NPAIRS], warped, params)
+        return flow[0, 0, 0, 0], jnp.sum(n_good)
+
+    s, g = fn(frames_d)
+    _ = float(s)
+    n_good = int(g)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s, _g = fn(frames_d)
+        _ = float(s)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    _emit({
+        "metric": "features+TV-L1 chained z-stack MP-pairs/s (production frame reuse)",
+        "value": round(NPAIRS * H * W / 1e6 / dt, 4),
+        "unit": "MP-pairs/s",
+        "vs_baseline": round(NPAIRS * H * W / 1e6 / dt, 4),
+        "platform": jax.devices()[0].platform,
+        "seconds_per_batch": round(dt, 4),
+        "good_matches_total": n_good,
+        "unique_frames": NPAIRS + 1,
+        "shape": [NPAIRS, H, W],
+    }, out)
+
+
 def bench_roofline(out):
     """Fixed-work per-iteration economics at the production strip level."""
     import jax
@@ -216,17 +287,34 @@ def bench_roofline(out):
         # eager: the pallas level call is its own jitted program
         return tvl1_flow_level_pallas(x, y, u, u, p)[0].sum()
 
-    for name, fn in (("xla", xla_fn), ("pallas", pallas_fn)):
+    # the PRODUCTION kernel: fused whole-level (warp + sweeps +
+    # iterations in one launch), exact geometry, batch 16 so the
+    # per-level program overhead amortizes as in the headline bench
+    from optflow_tpu.ops.tvl1_pallas import _fused_level_fn
+
+    NB = 16
+    ab = jnp.broadcast_to(a, (NB, H, W))
+    bb = jnp.broadcast_to(b, (NB, H, W))
+    ub = jnp.zeros((NB, H, W), jnp.float32)
+    fused_step = _fused_level_fn(NB, (H, W), None, p, False, 8)
+
+    def fused_fn(x, y):
+        u1, _, _, _ = fused_step(ab, bb, ub, ub)
+        return u1.sum()
+
+    for name, fn in (("xla", xla_fn), ("pallas_legacy", pallas_fn),
+                     ("pallas_fused", fused_fn)):
         _ = float(fn(a, b))
+        scale = NB if name == "pallas_fused" else 1
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             _ = float(fn(a, b))
             times.append(time.perf_counter() - t0)
-        dt = float(np.median(times))
+        dt = float(np.median(times)) / scale
         gflops = rec["px_iterations"] * FLOPS_PER_PX_ITER / dt / 1e9
         rec[name] = {
-            "seconds": round(dt, 4),
+            "seconds_per_image": round(dt, 4),
             "px_iter_per_s_G": round(rec["px_iterations"] / dt / 1e9, 3),
             "est_vpu_gflops": round(gflops, 1),
         }
@@ -234,13 +322,13 @@ def bench_roofline(out):
             rec[name]["est_hbm_gbs"] = round(
                 rec["px_iterations"] * XLA_BYTES_PER_PX_ITER / dt / 1e9, 1
             )
-    if "pallas" in rec and "xla" in rec:
-        rec["pallas_speedup"] = round(
-            rec["xla"]["seconds"] / rec["pallas"]["seconds"], 2
-        )
-        rec["value"] = rec["pallas_speedup"]
-        rec["unit"] = "x over XLA level solver"
-        rec["vs_baseline"] = rec["pallas_speedup"]
+    rec["fused_speedup_vs_xla"] = round(
+        rec["xla"]["seconds_per_image"]
+        / rec["pallas_fused"]["seconds_per_image"], 2
+    )
+    rec["value"] = rec["fused_speedup_vs_xla"]
+    rec["unit"] = "x over XLA level solver (fused kernel)"
+    rec["vs_baseline"] = rec["fused_speedup_vs_xla"]
     _emit(rec, out)
 
 
@@ -297,10 +385,12 @@ def main():
         i = argv.index("--out")
         out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    modes = argv or ["features", "roofline"]
+    modes = argv or ["features", "features_chained", "roofline"]
     for m in modes:
         if m == "features":
             bench_features(out)
+        elif m == "features_chained":
+            bench_features_chained(out)
         elif m == "roofline":
             bench_roofline(out)
         elif m == "tiled":

@@ -186,13 +186,19 @@ def _batched_solver(h: int, w: int, params: TVL1Params, mode: str, mesh):
 def _batched_prealigner(h: int, w: int, ftype, orb, surf, mp, mesh):
     """Batched feature pre-alignment + frame-1 warp: the device equivalent
     of find_alignment + cv::cuda::warpAffine (src/optflow.cpp:366-377),
-    one dispatch for the whole group."""
-    from optflow_tpu.features.align import find_alignment_batched_device
+    one dispatch for the whole group. FRAME-DEDUPLICATED: detect +
+    describe run once per unique frame (production pair graphs reuse
+    every frame in up to 6 pairs, gen_cross_file_list.py z-distance <= 3)
+    and matching/RANSAC per pair via index arrays."""
+    from optflow_tpu.features.align import find_alignment_indexed
     from optflow_tpu.ops.warp import affine_warp
 
-    def f(f0s, f1s):
-        res = find_alignment_batched_device(f1s, f0s, ftype, orb, surf, mp)
-        warped = jax.vmap(affine_warp)(f1s, res.affine)
+    def f(frames, f1_idx, f0_idx):
+        # affine maps frame1 -> frame0 space: src = frame1, dst = frame0
+        res = find_alignment_indexed(
+            frames, f1_idx, f0_idx, ftype, orb, surf, mp
+        )
+        warped = jax.vmap(affine_warp)(frames[f1_idx], res.affine)
         return res.affine, warped, res.n_good, res.enough, res.homo_ok, res.H
 
     # pre-alignment runs unsharded (single dispatch, small outputs); a
@@ -372,15 +378,31 @@ def run_job_batched(
             )
 
             ftype, orb, surf, mp = resolve_feature_params(t0.im_data, args)
-            f0_full = np.zeros((n_pad, fh, fw), np.float32)
-            f1_full = np.zeros((n_pad, fh, fw), np.float32)
+            # dedupe frames by object identity: the FrameCache hands the
+            # SAME ndarray to every pair that reuses a (path, scale), so
+            # chained pair lists detect+describe each section once
+            uniq: List[np.ndarray] = []
+            uniq_ids: Dict[int, int] = {}
+            f0_idx = np.zeros(n_pad, np.int32)
+            f1_idx = np.zeros(n_pad, np.int32)
+
+            def frame_slot(arr: np.ndarray) -> int:
+                key = id(arr)
+                if key not in uniq_ids:
+                    uniq_ids[key] = len(uniq)
+                    uniq.append(arr)
+                return uniq_ids[key]
+
             for j, t in enumerate(tasks):
-                f0_full[j] = t.frame0
-                f1_full[j] = t.frame1
+                f0_idx[j] = frame_slot(t.frame0)
+                f1_idx[j] = frame_slot(t.frame1)
+            frames_np = np.stack(uniq).astype(np.float32)
             prealign = _batched_prealigner(fh, fw, ftype, orb, surf, mp, mesh)
             with timer.stage("prealign"):
                 aff_d, warped_d, n_good, enough, homo_ok, homos = prealign(
-                    jnp.asarray(f0_full), jnp.asarray(f1_full)
+                    jnp.asarray(frames_np),
+                    jnp.asarray(f1_idx),
+                    jnp.asarray(f0_idx),
                 )
                 affines = np.asarray(aff_d)
                 warped = np.asarray(warped_d)

@@ -101,21 +101,12 @@ def _detect_describe_device(im: jnp.ndarray, ftype: int, orb: OrbParams, surf: S
     return kps, desc, False
 
 
-@functools.partial(
-    jax.jit, static_argnames=("ftype", "orb", "surf", "mp")
-)
-def find_alignment_device(
-    src: jnp.ndarray,  # (H, W) frame whose coords the affine maps FROM
-    dst: jnp.ndarray,  # (H', W') target coordinate space
-    ftype: int,
-    orb: OrbParams,
-    surf: SurfParams,
-    mp: MatchParams,
+def _match_and_fit(
+    kps0, desc0, kps1, desc1, binary: bool, mp: MatchParams
 ) -> AlignResult:
-    """Whole alignment pipeline on device; no host syncs, vmappable."""
-    kps0, desc0, binary = _detect_describe_device(src, ftype, orb, surf)
-    kps1, desc1, _ = _detect_describe_device(dst, ftype, orb, surf)
-
+    """Per-pair half of the alignment: k=2 matching, ratio test, RANSAC
+    homography and the reference's sanity gates, on precomputed
+    keypoints/descriptors."""
     matches = knn_match2(desc0, kps0.valid, desc1, kps1.valid, binary=binary)
     good = ratio_filter(matches, mp.ratio)
     n_good = jnp.sum(good).astype(jnp.int32)
@@ -139,6 +130,54 @@ def find_alignment_device(
         use, H[0:2, 0:3], jnp.asarray(IDENTITY)
     ).astype(jnp.float32)
     return AlignResult(affine, n_good, enough, homo_ok, H)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ftype", "orb", "surf", "mp")
+)
+def find_alignment_device(
+    src: jnp.ndarray,  # (H, W) frame whose coords the affine maps FROM
+    dst: jnp.ndarray,  # (H', W') target coordinate space
+    ftype: int,
+    orb: OrbParams,
+    surf: SurfParams,
+    mp: MatchParams,
+) -> AlignResult:
+    """Whole alignment pipeline on device; no host syncs, vmappable."""
+    kps0, desc0, binary = _detect_describe_device(src, ftype, orb, surf)
+    kps1, desc1, _ = _detect_describe_device(dst, ftype, orb, surf)
+    return _match_and_fit(kps0, desc0, kps1, desc1, binary, mp)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ftype", "orb", "surf", "mp")
+)
+def find_alignment_indexed(
+    frames: jnp.ndarray,  # (F, H, W) UNIQUE frames
+    src_idx: jnp.ndarray,  # (N,) int32 — frame whose coords map FROM
+    dst_idx: jnp.ndarray,  # (N,) int32 — target coordinate space
+    ftype: int,
+    orb: OrbParams,
+    surf: SurfParams,
+    mp: MatchParams,
+) -> AlignResult:
+    """Frame-deduplicated batched alignment: detect + describe run ONCE
+    per unique frame, matching + RANSAC per pair. Production pair lists
+    chain sections (z-distance <= 3 graphs reuse every frame in up to 6
+    pairs, support_scripts/gen_cross_file_list.py), so this halves-plus
+    the dominant detect/describe cost vs the per-pair pipeline."""
+    binary = ftype == ORB_TYPE
+
+    kps, desc = jax.vmap(
+        lambda im: _detect_describe_device(im, ftype, orb, surf)[:2]
+    )(frames)
+
+    def per_pair(si, di):
+        k0 = jax.tree.map(lambda a: a[si], kps)
+        k1 = jax.tree.map(lambda a: a[di], kps)
+        return _match_and_fit(k0, desc[si], k1, desc[di], binary, mp)
+
+    return jax.vmap(per_pair)(src_idx, dst_idx)
 
 
 @functools.partial(

@@ -311,3 +311,44 @@ def test_find_alignment_moderate_rotation(rng):
     # must NOT fall back to identity, and the linear part must match
     assert not np.allclose(aff, np.array([[1, 0, 0], [0, 1, 0]]), atol=1e-3)
     assert np.allclose(aff[:, :2], Ainv[:, :2], atol=0.05), aff
+
+
+def test_find_alignment_indexed_matches_batched(rng):
+    """The frame-deduplicated indexed aligner (detect once per unique
+    frame — the engine's production path for chained pair lists) must
+    produce the same results as the per-pair batched pipeline."""
+    import jax.numpy as jnp
+
+    from optflow_tpu.core.config import (
+        MatchParams, OrbParams, SurfParams, SURF_TYPE,
+    )
+    from optflow_tpu.features.align import (
+        find_alignment_batched_device,
+        find_alignment_indexed,
+    )
+
+    orb = OrbParams()
+    surf = SurfParams(hessian_threshold=30.0)
+    mp = MatchParams(ratio=0.85)
+
+    f0 = make_fibsem_like(rng, 128, 128, smooth=5)
+    f1 = _affine_warp_np(f0, np.array([[1.0, 0, 3.0], [0, 1.0, -2.0]]))
+    f2 = _affine_warp_np(f1, np.array([[1.0, 0, -2.0], [0, 1.0, 1.0]]))
+    frames = jnp.asarray(np.stack([f0, f1, f2]))
+
+    # chained pairs (f1->f0), (f2->f1): frame f1 is reused
+    idx_src = jnp.asarray([1, 2], jnp.int32)
+    idx_dst = jnp.asarray([0, 1], jnp.int32)
+    res_i = find_alignment_indexed(
+        frames, idx_src, idx_dst, SURF_TYPE, orb, surf, mp
+    )
+
+    res_b = find_alignment_batched_device(
+        frames[idx_src], frames[idx_dst], SURF_TYPE, orb, surf, mp
+    )
+    assert np.array_equal(np.asarray(res_i.affine), np.asarray(res_b.affine))
+    assert np.array_equal(np.asarray(res_i.n_good), np.asarray(res_b.n_good))
+    # and the alignment is actually good: recovered translations
+    assert np.allclose(
+        np.asarray(res_i.affine)[0][:, 2], [-3.0, 2.0], atol=2.0
+    )
