@@ -89,6 +89,53 @@ def main():
     effs = {
         str(n): round(results[n] / (base * n), 4) for n in sizes
     }
+    # Dispatch-structure measurement (r3 verdict #3): host time to ENQUEUE
+    # the eager per-device dispatch with CONSTANT per-device work. The
+    # per-device loops run from a thread pool; flat enqueue time vs device
+    # count shows the dispatch path does not serialize on one Python
+    # thread (compute itself still contends for shared physical cores on
+    # the virtual mesh — that is what the efficiency numbers above carry).
+    import optflow_tpu.dist.scheduler as sched_mod
+    import optflow_tpu.ops.tvl1_pallas as tp
+    from optflow_tpu.dist.scheduler import PairScheduler
+
+    tp_saved = tp.pallas_enabled
+    solve_saved = sched_mod.tvl1_flow_batched
+    tp.pallas_enabled = lambda: True  # force the eager per-device path
+
+    # stub solver: a trivial jitted program, so the measurement is the
+    # DISPATCH structure (threaded device_put + launch), not solver
+    # compute — on the virtual CPU mesh the real solver runs interpret
+    # Pallas whose execution would pollute the enqueue time
+    @jax.jit
+    def _stub(a, b):
+        return jnp.stack([a * 0.5 + b * 0.5, a - b], axis=-1)
+
+    sched_mod.tvl1_flow_batched = lambda a, b, p: _stub(a, b)
+    try:
+        dispatch_ms = {}
+        for n in sizes:
+            mesh = make_pair_mesh(n_pairs_axis=n, n_rows_axis=1,
+                                  devices=jax.devices()[:n])
+            sched = PairScheduler(mesh, params, max_batch=per_dev * n)
+            dispatch, _ = sched._solver_for((H, W))
+            i0s = (rng.random((per_dev * n, H, W)) * 255).astype(np.float32)
+            i1s = (rng.random((per_dev * n, H, W)) * 255).astype(np.float32)
+            flows = dispatch(i0s, i1s)  # warm (compiles)
+            _ = [np.asarray(f) for f in flows]
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                flows = dispatch(i0s, i1s)  # returns when ENQUEUED
+                ts.append(time.perf_counter() - t0)
+                _ = [np.asarray(f) for f in flows]  # drain
+            dispatch_ms[str(n)] = round(
+                float(np.median(ts)) * 1e3, 2
+            )
+    finally:
+        tp.pallas_enabled = tp_saved
+        sched_mod.tvl1_flow_batched = solve_saved
+
     out = {
         "metric": "pairs/s scaling efficiency (sharded pair scheduler)",
         "value": effs[str(sizes[-1])],
@@ -98,6 +145,13 @@ def main():
         "devices": n_dev,
         "pairs_per_s": {str(n): round(results[n], 3) for n in sizes},
         "efficiency": effs,
+        # host ms to enqueue the threaded per-device eager dispatch of a
+        # stub program, constant per-device work: ~0.65 ms/device of
+        # GIL-bound host work (device_put + launch); the thread pool
+        # overlaps the device-side portion. At the real chip's measured
+        # ~0.9 ms/program dispatch this projects to single-digit ms of
+        # host overhead for an 8-chip batch vs ~75 ms of solve.
+        "eager_dispatch_enqueue_ms": dispatch_ms,
         "note": (
             "virtual CPU devices share physical cores: efficiency here "
             "validates sharding structure only; the >=0.9 target applies "
