@@ -1167,6 +1167,15 @@ def tvl1_flow_batched_pallas(
     # (~75 ms of the 227 ms batch). The FUSED path eliminates all three:
     # one program per level, each a single kernel running every warp
     # sweep + iteration loop VMEM-resident at the level's exact geometry.
+    # All-or-nothing: a MIXED fused/legacy pyramid (legacy chunked solve
+    # for just the oversized finest level) was tried and measured 29x
+    # SLOWER than the pure legacy path at (2, 512, 1024) — the
+    # standalone eager legacy level trips the platform's slow-program
+    # pathology (cf. the iterations=1 anomaly in PERF_NOTES_r04.md §2).
+    # Sections beyond the fused budget therefore take the whole-pyramid
+    # legacy path below (hardware-validated at 11.6 MP-pairs/s), and the
+    # production route for big sections remains the tiled row-sharded
+    # solve whose per-device windows fit the fused kernel.
     use_fused = (
         not interpret
         and params.gamma == 0.0
