@@ -46,15 +46,19 @@ class PairScheduler:
         self.hbm_budget_bytes = hbm_budget_bytes
         self._jitted: Dict[Tuple[int, int], object] = {}
         self._pool = None
+        self._pool_workers = 0
 
     def _dispatch_pool(self, n_workers: int):
-        if self._pool is None or self._pool._max_workers < n_workers:
+        if self._pool is None or self._pool_workers < n_workers:
             import concurrent.futures
 
+            if self._pool is not None:
+                self._pool.shutdown(wait=False)
             self._pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=n_workers,
                 thread_name_prefix="pair-dispatch",
             )
+            self._pool_workers = n_workers
         return self._pool
 
     @property
@@ -102,24 +106,22 @@ class PairScheduler:
                 pool = self._dispatch_pool(len(pairs_devices))
 
                 def one_device(dev, a_np, b_np):
-                    a = jax.device_put(a_np, dev)
-                    b = jax.device_put(b_np, dev)
-                    flow = tvl1_flow_batched(a, b, params)
-                    # exact-semantics repair for fused-path shift-warp
-                    # contract violations (thread-local telemetry; the
-                    # mask read syncs this device's chain — rare, and
-                    # contained to this dispatch thread)
+                    # repair_contract=False: the default repair would
+                    # sync inside this dispatch thread and serialize the
+                    # cross-chunk pipeline. Instead the violation mask is
+                    # captured LAZILY (a device array — telemetry is
+                    # thread-local, so it must be taken here) and the
+                    # drain phase repairs after its own sync.
                     from optflow_tpu.ops.tvl1_pallas import (
                         get_last_violation_mask,
-                        resolve_contract_violations,
                     )
 
-                    mask = get_last_violation_mask()
-                    if mask is not None and bool(np.asarray(mask).any()):
-                        flow = jnp.asarray(
-                            resolve_contract_violations(flow, a, b, params)
-                        )
-                    return flow
+                    a = jax.device_put(a_np, dev)
+                    b = jax.device_put(b_np, dev)
+                    flow = tvl1_flow_batched(
+                        a, b, params, repair_contract=False
+                    )
+                    return flow, get_last_violation_mask(), a, b
 
                 def dispatch(i0s_np, i1s_np):
                     n = i0s_np.shape[0]
@@ -200,7 +202,24 @@ class PairScheduler:
 
         for chunk, flows in in_flight:
             if isinstance(flows, list):  # per-device eager sub-batches
-                flows_np = np.concatenate([np.asarray(f) for f in flows])
+                parts = []
+                for item in flows:
+                    flow, mask, a, b = item
+                    flow_np = np.asarray(flow)  # the sync point
+                    if mask is not None and bool(np.asarray(mask).any()):
+                        # exact-semantics repair for fused-path
+                        # shift-warp contract violations, AFTER the sync
+                        # (the mask was captured lazily in the dispatch
+                        # thread, where the telemetry lives)
+                        from optflow_tpu.ops.tvl1_pallas import (
+                            resolve_contract_violations,
+                        )
+
+                        flow_np = resolve_contract_violations(
+                            flow, a, b, self.params, mask=mask
+                        )
+                    parts.append(flow_np)
+                flows_np = np.concatenate(parts)
             else:
                 flows_np = np.asarray(flows)
             for j, k in enumerate(chunk):

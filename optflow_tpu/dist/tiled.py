@@ -36,6 +36,7 @@ instead of silently degrading (r3 verdict #5).
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -81,16 +82,23 @@ def default_halo(
 # Lazy telemetry of the most recent tiled solve on this thread: fraction
 # of flow components clamped by the max_flow contract. Device scalar —
 # reading it syncs, so it is only materialized in get_last_clip_fraction.
-_last_clip_fraction = None
+# threading.local so concurrently dispatching threads don't race on it.
+class _ClipTelemetry(threading.local):
+    def __init__(self):
+        self.fraction = None
+
+
+_clip_telemetry = _ClipTelemetry()
 
 
 def get_last_clip_fraction() -> float:
-    """Fraction of flow values the last :func:`tiled_tvl1_flow` clamped to
-    +/-max_flow (0.0 when the contract held everywhere, or when no tiled
-    solve ran yet). Reading syncs on that solve having finished."""
-    if _last_clip_fraction is None:
+    """Fraction of flow values the last :func:`tiled_tvl1_flow` on this
+    thread clamped to +/-max_flow (0.0 when the contract held everywhere,
+    or when no tiled solve ran yet). Reading syncs on that solve having
+    finished."""
+    if _clip_telemetry.fraction is None:
         return 0.0
-    return float(_last_clip_fraction)
+    return float(_clip_telemetry.fraction)
 
 
 def tiled_tvl1_flow(
@@ -128,8 +136,13 @@ def tiled_tvl1_flow(
         halo = default_halo(params, max_flow or 8.0, h, w)
     halo = min(halo, (h - block) // 2)  # window must fit inside the image
     win = block + 2 * halo
+    # halo == 0 must NOT take the ring: blk[-0:] would be the whole
+    # block, corrupting the window assembly (and there is nothing to
+    # exchange anyway)
     if neighbor_exchange is None:
-        neighbor_exchange = n_rows > 1 and 2 * halo <= block
+        neighbor_exchange = n_rows > 1 and 0 < 2 * halo <= block
+    elif neighbor_exchange and halo == 0:
+        neighbor_exchange = False
 
     def window_ring(blk):
         # Neighbor halo ring: device d receives the LAST 2*halo rows of
@@ -195,8 +208,7 @@ def tiled_tvl1_flow(
     i0 = jax.device_put(i0, sharding)
     i1 = jax.device_put(i1, sharding)
     flow, clip_frac = fn(i0, i1)
-    global _last_clip_fraction
-    _last_clip_fraction = clip_frac[0]
+    _clip_telemetry.fraction = clip_frac[0]
     if strict and max_flow is not None:
         frac = float(clip_frac[0])
         if frac > 0.0:

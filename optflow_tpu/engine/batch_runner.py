@@ -119,30 +119,18 @@ def _batched_solver(h: int, w: int, params: TVL1Params, mode: str, mesh):
                 a = jax.device_put(a, dev)
                 b = jax.device_put(b, dev)
                 af = jax.device_put(af, dev)
+            # tvl1_flow_batched repairs shift-warp contract violations
+            # (exact gather re-solve) by default; the engine converts to
+            # numpy right after this call, so the repair's mask read
+            # moves the sync rather than adding one
             flow = tvl1_flow_batched(a, b, params)
-            # exact-semantics repair: fused-path sweeps beyond the
-            # shift-warp contract clamp taps; re-solve those images with
-            # the gather warp (telemetry is thread-local — this thread's
-            # last solve). The engine syncs right after this call anyway,
-            # so the mask read moves the sync, it doesn't add one.
-            from optflow_tpu.ops.tvl1_pallas import (
-                get_last_violation_mask,
-                resolve_contract_violations,
-            )
-
-            mask = get_last_violation_mask()
-            if mask is not None and bool(np.asarray(mask).any()):
-                flow = jnp.asarray(
-                    resolve_contract_violations(flow, a, b, params)
-                )
             return post_j(flow, a, b, af)
 
         def eager(i0s, i1s, affines):
-            # per-device sub-batches dispatched from a thread pool: H2D
-            # copies and program-launch overhead overlap across devices
-            # instead of serializing on one Python thread (r3 verdict #3)
-            import concurrent.futures
-
+            # per-device sub-batches dispatched from a shared thread
+            # pool: H2D copies and program-launch overhead overlap
+            # across devices instead of serializing on one Python
+            # thread (r3 verdict #3)
             n = i0s.shape[0]
             per = -(-n // len(devices))
             work = []
@@ -154,11 +142,8 @@ def _batched_solver(h: int, w: int, params: TVL1Params, mode: str, mesh):
             if len(work) == 1:
                 outs = [one_device(*work[0])]
             else:
-                with concurrent.futures.ThreadPoolExecutor(
-                    max_workers=len(work),
-                    thread_name_prefix="batch-dispatch",
-                ) as pool:
-                    outs = list(pool.map(lambda w: one_device(*w), work))
+                pool = _dispatch_pool(len(work))
+                outs = list(pool.map(lambda w: one_device(*w), work))
             fx = jnp.concatenate([o[0] for o in outs])
             fy = jnp.concatenate([o[1] for o in outs])
             valid = jnp.concatenate([o[2] for o in outs])
@@ -209,6 +194,26 @@ def _batched_prealigner(h: int, w: int, ftype, orb, surf, mp, mesh):
 
 
 _batched_cache: Dict[Tuple, object] = {}
+
+_pool = None
+_pool_workers = 0
+
+
+def _dispatch_pool(n_workers: int):
+    """Process-shared dispatch pool (grown on demand, old pool shut
+    down); per-call executors would pay thread creation in the hot
+    path."""
+    global _pool, _pool_workers
+    import concurrent.futures
+
+    if _pool is None or _pool_workers < n_workers:
+        if _pool is not None:
+            _pool.shutdown(wait=False)
+        _pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=n_workers, thread_name_prefix="batch-dispatch"
+        )
+        _pool_workers = n_workers
+    return _pool
 
 
 def _get_batched_solver(h, w, params, mode, mesh):
@@ -396,7 +401,13 @@ def run_job_batched(
             for j, t in enumerate(tasks):
                 f0_idx[j] = frame_slot(t.frame0)
                 f1_idx[j] = frame_slot(t.frame1)
-            frames_np = np.stack(uniq).astype(np.float32)
+            # pad the unique-frame count to a bucket (multiple of 4) so
+            # find_alignment_indexed doesn't recompile for every distinct
+            # dedup pattern; zero pad frames detect nothing and are never
+            # indexed
+            f_bucket = -(-len(uniq) // 4) * 4
+            frames_np = np.zeros((f_bucket, fh, fw), np.float32)
+            frames_np[: len(uniq)] = np.stack(uniq)
             prealign = _batched_prealigner(fh, fw, ftype, orb, surf, mp, mesh)
             with timer.stage("prealign"):
                 aff_d, warped_d, n_good, enough, homo_ok, homos = prealign(

@@ -98,22 +98,11 @@ def _roi_solver(h: int, w: int, params: TVL1Params, mode: str):
         post_j = jax.jit(post)
 
         def f(i0, i1, affine):
-            flow = tvl1_flow(i0, i1, params)  # eager orchestration
-            # exact-semantics repair for fused-path shift-warp contract
-            # violations (rare; the caller converts to numpy right after,
-            # so the mask read moves the sync rather than adding one)
-            from optflow_tpu.ops.tvl1_pallas import (
-                get_last_violation_mask,
-                resolve_contract_violations,
-            )
-
-            mask = get_last_violation_mask()
-            if mask is not None and bool(np.asarray(mask).any()):
-                flow = jnp.asarray(
-                    resolve_contract_violations(
-                        flow[None], i0[None], i1[None], params
-                    )
-                )[0]
+            # eager orchestration; tvl1_flow itself repairs shift-warp
+            # contract violations (exact gather re-solve) before
+            # returning — the caller converts to numpy right after, so
+            # the repair's mask read moves the sync rather than adding one
+            flow = tvl1_flow(i0, i1, params)
             return post_j(flow, i0, i1, affine)
 
         return f

@@ -252,10 +252,10 @@ def tvl1_flow(
             and params.gamma == 0.0
             and not _under_trace(i0, i1, init_flow)
         ):
-            # eager TPU production path: per-level jitted programs with
-            # the Pallas iteration kernel (see tvl1_pallas._level_fn)
+            # eager TPU production path, routed through the batched entry
+            # so the public API's shift-warp contract repair applies
             flow_init = init_flow[None] if init_flow is not None else None
-            return tvl1_flow_batched_pallas(
+            return tvl1_flow_batched(
                 i0[None], i1[None], params, init_flow=flow_init
             )[0]
         level_solver = default_level_solver(i0, i1)
@@ -290,6 +290,7 @@ def tvl1_flow_batched(
     i1s: jnp.ndarray,
     params: TVL1Params = TVL1Params(),
     init_flow: Optional[jnp.ndarray] = None,  # (N, H, W, 2)
+    repair_contract: bool = True,
 ) -> jnp.ndarray:
     """Batched coarse-to-fine TV-L1 over a leading pair axis.
 
@@ -298,10 +299,21 @@ def tvl1_flow_batched(
     to the natively batched Pallas driver (whose kernels carry an explicit
     batch grid axis — vmapping a manual-DMA pallas_call is not supported),
     elsewhere it vmaps the jnp solver.
+
+    repair_contract: the TPU fused path's in-kernel warp clamps tap
+    shifts for flows beyond SHIFT_WARP_MAX (8 px); by default this entry
+    re-solves any such image with the exact gather warp before
+    returning, so the public API always carries reference semantics
+    (the reference warp has no magnitude ceiling). The check reads a
+    device scalar — a sync. Pipelining callers (engine dispatch paths,
+    the bench's steady-state loop) pass False and run the same repair
+    at their own sync points via resolve_contract_violations.
     """
     from optflow_tpu.ops.tvl1_pallas import (
         _under_trace,
+        get_last_violation_mask,
         pallas_enabled,
+        resolve_contract_violations,
         tvl1_flow_batched_pallas,
     )
 
@@ -310,7 +322,16 @@ def tvl1_flow_batched(
         and params.gamma == 0.0
         and not _under_trace(i0s, i1s)
     ):
-        return tvl1_flow_batched_pallas(i0s, i1s, params, init_flow=init_flow)
+        flow = tvl1_flow_batched_pallas(i0s, i1s, params, init_flow=init_flow)
+        if repair_contract:
+            import numpy as np
+
+            mask = get_last_violation_mask()
+            if mask is not None and bool(np.asarray(mask).any()):
+                flow = jnp.asarray(
+                    resolve_contract_violations(flow, i0s, i1s, params)
+                )
+        return flow
     if init_flow is not None:
         return jax.vmap(
             lambda a, b, f: tvl1_flow(

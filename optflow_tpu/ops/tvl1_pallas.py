@@ -395,8 +395,16 @@ def _make_fused_kernel(
             u1 = st_s[0]
             u2 = st_s[1]
             mask = err_row * err_col
-            mx = jnp.max(jnp.maximum(jnp.abs(u1), jnp.abs(u2)) * mask)
-            viol = viol + (mx > S).astype(jnp.int32)
+            # PER-IMAGE violation counters: a statically unrolled loop of
+            # G proven scalar full-reduces (vector-valued reduces trip
+            # Mosaic's rank-1 layout crashes). One outlier image then
+            # repairs alone instead of dragging its whole stack onto the
+            # slow exact path.
+            absu = jnp.maximum(jnp.abs(u1), jnp.abs(u2)) * mask
+            viol = tuple(
+                v + (jnp.max(absu[g]) > S).astype(jnp.int32)
+                for g, v in enumerate(viol)
+            )
 
             wf = w.astype(jnp.float32)
             hf = h.astype(jnp.float32)
@@ -451,10 +459,12 @@ def _make_fused_kernel(
 
         viol, iters, err_fin = jax.lax.fori_loop(
             0, warps, sweep,
-            (jnp.int32(0), jnp.int32(0), jnp.float32(jnp.inf)),
+            (tuple(jnp.int32(0) for _ in range(G)), jnp.int32(0),
+             jnp.float32(jnp.inf)),
         )
         err_ref[n, 0] = err_fin
-        viol_ref[n, 0] = viol
+        for g_i in range(G):
+            viol_ref[n, g_i] = viol[g_i]
         iters_ref[n, 0] = iters
 
         cp_out = pltpu.make_async_copy(st_s, out_ref.at[n], sem_out)
@@ -497,7 +507,7 @@ def _run_fused(
         out_shape=(
             jax.ShapeDtypeStruct(state.shape, jnp.float32),
             jax.ShapeDtypeStruct((ng, 1), jnp.float32),
-            jax.ShapeDtypeStruct((ng, 1), jnp.int32),
+            jax.ShapeDtypeStruct((ng, g), jnp.int32),  # per-image viols
             jax.ShapeDtypeStruct((ng, 1), jnp.int32),
         ),
         in_specs=[
@@ -594,10 +604,9 @@ def _fused_level_fn(
         if next_shape is not None:
             u1 = resize(u1, next_shape) * inv
             u2 = resize(u2, next_shape) * inv
-        # per-invocation counters attributed to each stacked image (a
-        # stacked violation is conservative: any image in the group may
-        # have been the offender)
-        viol_img = jnp.repeat(viol[:, 0], g)
+        # viol is per image already ((ng, g) kernel output); iterations
+        # are per invocation — every stacked image ran that many
+        viol_img = viol.reshape(n)
         iters_img = jnp.repeat(iters[:, 0], g)
         return u1, u2, viol_img, iters_img
 
@@ -1292,6 +1301,7 @@ def resolve_contract_violations(
     i0s: jnp.ndarray,
     i1s: jnp.ndarray,
     params: TVL1Params,
+    mask=None,
 ) -> np.ndarray:
     """Exact-semantics repair for the fused path: re-solve the images
     whose warp sweeps violated the |u| <= SHIFT_WARP_MAX contract (tap
@@ -1300,8 +1310,13 @@ def resolve_contract_violations(
     Call at a point that already consumes ``flow`` (the mask read then
     costs no extra sync). Returns the (possibly repaired) flow as a
     numpy array. No-op when the last solve ran on the legacy path or
-    nothing violated — the production common case."""
-    mask = get_last_violation_mask()
+    nothing violated — the production common case.
+
+    mask: the per-image violation mask captured right after the solve
+    (required when the repair runs on a different thread than the solve
+    — telemetry is thread-local); defaults to this thread's last."""
+    if mask is None:
+        mask = get_last_violation_mask()
     flow_np = np.asarray(flow)
     if mask is None:
         return flow_np

@@ -202,10 +202,12 @@ def warp_backward(
 
 
 # The shift-compose warp's contract: tap addresses are exact only for
-# |flow| <= this many pixels (beyond it they clamp). The Pallas driver
-# guards every warp sweep against it and falls back to the gather warp
-# (ops/tvl1_pallas.py warp_fn), so the clamping below is unreachable from
-# the production path.
+# |flow| <= this many pixels (beyond it they clamp). The legacy Pallas
+# driver guards every warp sweep per image and falls back to the gather
+# warp (ops/tvl1_pallas.py warp_fn); the fused production kernel clamps
+# in-kernel, counts the violation per image, and the public solve entry
+# (ops/tvl1.tvl1_flow_batched, repair_contract=True) re-solves offending
+# images with the exact gather warp before returning.
 SHIFT_WARP_MAX = 8
 
 

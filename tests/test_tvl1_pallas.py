@@ -250,3 +250,30 @@ def test_resolve_contract_violations_repairs_offenders(rng):
     tp._telemetry.fallback_counts = [jnp.asarray([0, 0], jnp.int32)]
     same = tp.resolve_contract_violations(flow, i0, i1, p)
     assert np.array_equal(same, np.asarray(flow))
+
+
+def test_fused_stack_violations_are_per_image(rng):
+    """In a stacked invocation, only the image whose |u| exceeds the
+    shift contract is flagged — one outlier must not mark (and later
+    re-solve) its whole stack (code-review r4 finding)."""
+    from optflow_tpu.ops.tvl1_pallas import _fused_level_fn, _pick_stack, _fused_geometry
+
+    h, w, n = 24, 40, 4
+    i0s, i1s = [], []
+    for _ in range(n):
+        a = make_fibsem_like(rng, h, w)
+        i0s.append(a)
+        i1s.append(translate(a, 1.0, 0.0))
+    i0 = jnp.asarray(np.stack(i0s))
+    i1 = jnp.asarray(np.stack(i1s))
+    p = TVL1Params(nscales=1, warps=2, iterations=5)
+    assert _pick_stack(n, _fused_geometry(h, w)) == n
+
+    u1 = np.zeros((n, h, w), np.float32)
+    u1[2] = 12.0  # image 2 enters beyond SHIFT_WARP_MAX
+    _, _, viol, _ = _fused_level_fn(n, (h, w), None, p, True, 8)(
+        i0, i1, jnp.asarray(u1), jnp.zeros((n, h, w), jnp.float32)
+    )
+    v = np.asarray(viol)
+    assert v[2] >= 1
+    assert v[0] == v[1] == v[3] == 0, v
