@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import functools
 import threading
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -80,15 +81,27 @@ def default_halo(
 
 
 # Lazy telemetry of the most recent tiled solve on this thread: fraction
-# of flow components clamped by the max_flow contract. Device scalar —
-# reading it syncs, so it is only materialized in get_last_clip_fraction.
-# threading.local so concurrently dispatching threads don't race on it.
+# of flow components clamped by the max_flow contract, plus how many
+# halo rows (if any) the geometry clamp shaved off the requested halo.
+# Device scalar — reading it syncs, so it is only materialized in
+# get_last_clip_fraction. threading.local so concurrently dispatching
+# threads don't race on it.
 class _ClipTelemetry(threading.local):
     def __init__(self):
         self.fraction = None
+        self.halo_shortfall = 0
 
 
 _clip_telemetry = _ClipTelemetry()
+
+
+def get_last_halo_shortfall() -> int:
+    """Rows by which the last :func:`tiled_tvl1_flow` on this thread had
+    to SHRINK the halo below the requested/derived size because the
+    extended window must fit inside the image (short images with many
+    row shards). Non-zero means seam quality is no longer covered by the
+    :func:`default_halo` correctness argument."""
+    return int(_clip_telemetry.halo_shortfall)
 
 
 def get_last_clip_fraction() -> float:
@@ -134,14 +147,42 @@ def tiled_tvl1_flow(
     block = h // n_rows
     if halo is None:
         halo = default_halo(params, max_flow or 8.0, h, w)
-    halo = min(halo, (h - block) // 2)  # window must fit inside the image
+    # The extended window must fit inside the image; on short images
+    # with many row shards this SHRINKS the halo below the
+    # correctness-derived size — the seam-error argument of
+    # default_halo no longer covers the solve, so surface it
+    # (warn; raise under strict) instead of degrading silently.
+    halo_fit = min(halo, (h - block) // 2)
+    _clip_telemetry.halo_shortfall = halo - halo_fit
+    if halo_fit < halo:
+        msg = (
+            f"tiled_tvl1_flow: halo shrunk {halo} -> {halo_fit} rows so "
+            f"the extended window fits H={h} with {n_rows} row shards; "
+            f"seam accuracy is no longer covered by the halo contract. "
+            f"Use fewer row shards or a shorter pyramid."
+        )
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    halo = halo_fit
     win = block + 2 * halo
     # halo == 0 must NOT take the ring: blk[-0:] would be the whole
     # block, corrupting the window assembly (and there is nothing to
-    # exchange anyway)
+    # exchange anyway). 2*halo > block must not either: prev_tail/
+    # next_head cover only 2*halo rows of each neighbor, fewer than the
+    # clamped window can need — dynamic_slice would silently clamp and
+    # assemble a WRONG window, so demote to the all_gather path even
+    # when the caller forced the ring (advisor r4).
     if neighbor_exchange is None:
         neighbor_exchange = n_rows > 1 and 0 < 2 * halo <= block
-    elif neighbor_exchange and halo == 0:
+    elif neighbor_exchange and not (0 < 2 * halo <= block):
+        warnings.warn(
+            f"tiled_tvl1_flow: neighbor_exchange=True demoted to "
+            f"all_gather (halo={halo}, block={block}: one-hop ring "
+            f"assembly needs 0 < 2*halo <= block)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         neighbor_exchange = False
 
     def window_ring(blk):
@@ -184,17 +225,20 @@ def tiled_tvl1_flow(
         # my block lives at window offset idx*block - start (halo for
         # interior devices, 0 / 2*halo at the clamped edges)
         flow_blk_off = jax.lax.axis_index(axis_name) * block - start
-        if max_flow is not None:
-            clipped = jnp.mean(
-                (jnp.abs(flow) > max_flow).astype(jnp.float32)
-            )
-            clip_frac = jax.lax.pmean(clipped, axis_name)
-            flow = jnp.clip(flow, -max_flow, max_flow)
-        else:
-            clip_frac = jnp.float32(0.0)
         out = jax.lax.dynamic_slice(
             flow, (flow_blk_off, 0, 0), (block, w, 2)
         )
+        # clip telemetry + clamp on the device's OWN block rows only —
+        # clamped values living in discarded halo rows neither reach the
+        # stitched output nor should trip strict mode (advisor r4)
+        if max_flow is not None:
+            clipped = jnp.mean(
+                (jnp.abs(out) > max_flow).astype(jnp.float32)
+            )
+            clip_frac = jax.lax.pmean(clipped, axis_name)
+            out = jnp.clip(out, -max_flow, max_flow)
+        else:
+            clip_frac = jnp.float32(0.0)
         return out, clip_frac[None]
 
     fn = jax.shard_map(

@@ -329,7 +329,9 @@ def tvl1_flow_batched(
             mask = get_last_violation_mask()
             if mask is not None and bool(np.asarray(mask).any()):
                 flow = jnp.asarray(
-                    resolve_contract_violations(flow, i0s, i1s, params)
+                    resolve_contract_violations(
+                        flow, i0s, i1s, params, init_flow=init_flow
+                    )
                 )
         return flow
     if init_flow is not None:

@@ -152,6 +152,77 @@ def test_tiled_clip_telemetry_and_strict(rng):
     assert get_last_clip_fraction() == 0.0
 
 
+def test_tiled_halo_shrink_is_surfaced(rng):
+    """Short images force the fitted halo below the requested size; that
+    degradation must warn (and raise under strict), with the shortfall in
+    telemetry — not shrink silently (r4 verdict #6)."""
+    from optflow_tpu.dist.tiled import get_last_halo_shortfall
+
+    mesh = make_pair_mesh(n_pairs_axis=1, n_rows_axis=4)
+    im0 = make_fibsem_like(rng, 64, 64)  # block=16, max fit halo=24
+    im1 = translate(im0, 1.0, 0.5)
+    params = TVL1Params(nscales=2, warps=2, iterations=30)
+
+    with pytest.warns(RuntimeWarning, match="halo shrunk 32 -> 24"):
+        tiled_tvl1_flow(jnp.asarray(im0), jnp.asarray(im1), params, mesh,
+                        halo=32)
+    assert get_last_halo_shortfall() == 8
+
+    with pytest.raises(ValueError, match="halo shrunk"):
+        tiled_tvl1_flow(jnp.asarray(im0), jnp.asarray(im1), params, mesh,
+                        halo=32, strict=True)
+
+    # a fitting halo resets the telemetry and stays silent
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        tiled_tvl1_flow(jnp.asarray(im0), jnp.asarray(im1), params, mesh,
+                        halo=16)
+    assert get_last_halo_shortfall() == 0
+
+
+def test_tiled_forced_ring_demotes_when_halo_too_wide(rng):
+    """neighbor_exchange=True with 2*halo > block cannot assemble windows
+    in one ppermute hop; it must demote to all_gather (with a warning)
+    and still produce the all_gather result (advisor r4)."""
+    mesh = make_pair_mesh(n_pairs_axis=1, n_rows_axis=4)
+    im0 = make_fibsem_like(rng, 128, 64)  # block=32
+    im1 = translate(im0, 1.0, -0.5)
+    params = TVL1Params(nscales=2, warps=2, iterations=30)
+
+    with pytest.warns(RuntimeWarning, match="demoted to all_gather"):
+        forced = np.asarray(
+            tiled_tvl1_flow(jnp.asarray(im0), jnp.asarray(im1), params,
+                            mesh, halo=24, neighbor_exchange=True)
+        )
+    gathered = np.asarray(
+        tiled_tvl1_flow(jnp.asarray(im0), jnp.asarray(im1), params, mesh,
+                        halo=24, neighbor_exchange=False)
+    )
+    assert np.array_equal(forced, gathered)
+
+
+def test_tiled_clip_ignores_discarded_halo_rows(rng):
+    """The clip fraction (and strict mode) must consider only each
+    device's own block rows: clamped values confined to discarded halo
+    windows don't reach the stitched field (advisor r4). A uniform
+    in-contract translation plus a tight max_flow right at the true
+    magnitude must not trip strict mode from halo overshoot."""
+    from optflow_tpu.dist.tiled import get_last_clip_fraction
+
+    mesh = make_pair_mesh(n_pairs_axis=1, n_rows_axis=2)
+    im0 = make_fibsem_like(rng, 64, 64)
+    im1 = translate(im0, 0.5, 0.0)
+    params = TVL1Params(nscales=2, warps=2, iterations=40)
+    flow = np.asarray(
+        tiled_tvl1_flow(jnp.asarray(im0), jnp.asarray(im1), params, mesh,
+                        halo=16, max_flow=8.0)
+    )
+    assert float(np.abs(flow).max()) <= 8.0
+    assert get_last_clip_fraction() == 0.0
+
+
 def test_scheduler_eager_pallas_dispatch_matches_shard_map(rng, monkeypatch):
     """The TPU production dispatch (per-device eager, no collectives) must
     produce the same flows as the shard_map path. CPU CI can't reach it

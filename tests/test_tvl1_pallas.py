@@ -252,6 +252,47 @@ def test_resolve_contract_violations_repairs_offenders(rng):
     assert np.array_equal(same, np.asarray(flow))
 
 
+def test_resolve_contract_violations_carries_init_flow(rng):
+    """With use_initial_flow, the exact re-solve must start from the
+    caller's init_flow sliced to the offenders — not from zero (advisor
+    r4 medium): the repaired image must match a direct gather-warp solve
+    with the same init."""
+    import optflow_tpu.ops.tvl1_pallas as tp
+
+    h, w = 32, 48
+    a = make_fibsem_like(rng, h, w)
+    i0 = jnp.asarray(np.stack([a, a]))
+    i1 = jnp.asarray(np.stack([translate(a, 1.0, 0.0),
+                               translate(a, 1.5, 0.5)]))
+    p = TVL1Params(nscales=1, warps=1, iterations=3, use_initial_flow=True)
+    init = jnp.stack(
+        [jnp.full((2, h, w), 1.2, jnp.float32),
+         jnp.full((2, h, w), -0.7, jnp.float32)],
+        axis=-1,
+    )
+    flow = jnp.zeros((2, h, w, 2), jnp.float32)
+
+    tp._telemetry.fallback_counts = [jnp.asarray([0, 2], jnp.int32)]
+    repaired = tp.resolve_contract_violations(
+        flow, i0, i1, p, init_flow=init
+    )
+    expected = np.asarray(
+        tp.tvl1_flow_batched_pallas(
+            i0[1:2], i1[1:2], p, init_flow=init[1:2],
+            shift_warp=False,
+        )
+    )
+    assert np.allclose(repaired[1], expected[0], atol=1e-6)
+    # and distinct from a zero-init re-solve (few iterations keep the
+    # init's imprint)
+    zero_init = np.asarray(
+        tp.tvl1_flow_batched_pallas(
+            i0[1:2], i1[1:2], p, shift_warp=False
+        )
+    )
+    assert not np.allclose(repaired[1], zero_init[0], atol=1e-3)
+
+
 def test_fused_stack_violations_are_per_image(rng):
     """In a stacked invocation, only the image whose |u| exceeds the
     shift contract is flagged — one outlier must not mark (and later

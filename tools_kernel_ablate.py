@@ -134,7 +134,13 @@ def make_kernel(geo, err=True, sqrt=True, div=True, roll=True):
 
         def cond(carry):
             it, e = carry
-            return (it < m) & (e > -1.0)
+            # fixed-iteration ablation: the exit must NOT depend on e —
+            # the no_div variant NaNs the state, and NaN > -1.0 is False,
+            # which silently exited after one iteration and made the r4
+            # no_div slope ~0 (verdict r4 #7). e stays live through
+            # err_ref so the err-reduce cost is still measured.
+            del e
+            return it < m
 
         _, e_fin = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(jnp.inf)))
         err_ref[n, 0] = e_fin
