@@ -193,6 +193,34 @@ def main():
     # warmup job: compile every program shape (levels, prealign buckets)
     warm = build_job(stack, n_frames, 32, f"{tmp}/warm.jsonl", "warm")
     run(warm, MockRenderSink())
+    # warm the exact-repair ladder too (the wide-contract kernel set,
+    # repair bucket shape): a long-lived production process pays this
+    # once; without it a single mid-job shift-contract violation eats
+    # minutes of first-execution cost on this platform
+    try:
+        import jax.numpy as jnp
+
+        from optflow_tpu.core.config import TVL1Params
+        from optflow_tpu.ops.tvl1_pallas import (
+            pallas_enabled,
+            tvl1_flow_batched_pallas,
+        )
+
+        if pallas_enabled():
+            h = STRIP
+            w = int(SRC_W * SCALE)
+            rng = np.random.default_rng(0)
+            z0 = jnp.asarray(
+                rng.uniform(20, 235, (4, h, w)).astype(np.float32)
+            )
+            _ = np.asarray(
+                tvl1_flow_batched_pallas(
+                    z0, z0, TVL1Params(), s_max=16
+                )
+            )[0, 0, 0]
+    except Exception as e:  # warmup must never sink the bench
+        print(f"bench_job: repair-ladder warmup failed: {e!r}",
+              file=sys.stderr)
 
     job = build_job(stack, n_frames, n_pairs, f"{tmp}/job.jsonl", "job")
     sink = MockRenderSink()

@@ -227,6 +227,9 @@ def _get_batched_solver(h, w, params, mode, mesh):
 class _Task:
     index: int
     im_data: Dict
+    # references into the FrameCache's decoded arrays (never mutated, so
+    # no defensive copies — array IDENTITY keys both the host-side
+    # detect/describe dedup and the device frame cache)
     frame0: np.ndarray
     frame1: np.ndarray
     rois: Dict[str, Roi]
@@ -366,6 +369,18 @@ def run_job_batched(
             k == "default" for k in t0.rois
         )
         mode = _solve_mode(features, output_type)
+        if (
+            output_type == "random_points"
+            and n_shards == 1
+            and args.get("device_sample", True)
+        ):
+            # random_points needs nothing full-sized on the host: the
+            # device-resident pipeline uploads unique frames once and
+            # reads back only sampled points, a few groups behind the
+            # dispatch front (engine/device_group.py — the r5 fix for
+            # the 64x job-level transfer gap)
+            flush_group_device(tasks, params, mode, features)
+            return
         n_pad = -(-len(tasks) // n_shards) * n_shards
         fh, fw = t0.frame0.shape
 
@@ -455,6 +470,9 @@ def run_job_batched(
                         task, roi_key, roi, fxs[j], fys[j], valids[j],
                         features,
                     )
+        finish_tasks(tasks)
+
+    def finish_tasks(tasks: List[_Task]):
         for task in tasks:
             stats["pairs"] += 1
             stats["batched"] += 1
@@ -464,6 +482,178 @@ def run_job_batched(
             if journal:
                 journal.record_pair(pair_key(task.im_data, args))
             maybe_flush(task.index)
+
+    dev_cache = None
+    group_rng = np.random.default_rng()
+    # device-path groups whose packed readbacks are still in flight:
+    # deferring the (single, small) per-group sync a few groups deep
+    # lets the host decode/upload group g+1 while the device solves
+    # group g — without it every group pays the full serial chain
+    pending_groups: List[Dict] = []
+    pipeline_depth = int(args.get("device_pipeline_depth", 3))
+
+    def drain_pending(all_groups: bool = False):
+        while pending_groups and (
+            all_groups or len(pending_groups) > pipeline_depth
+        ):
+            complete_device_group(pending_groups.pop(0))
+
+    def flush_group_device(
+        tasks: List[_Task], params, mode: str, features: bool
+    ):
+        from optflow_tpu.engine import device_group as dg
+
+        nonlocal dev_cache
+        if dev_cache is None:
+            dev_cache = dg.DeviceFrameCache()
+        t0 = tasks[0]
+        fh, fw = t0.frame0.shape
+        n = len(tasks)
+        nb = dg._bucket(n)
+        npoints = cfg.npoints(t0.im_data)
+
+        with timer.stage("h2d"):
+            uniq_ids: Dict[int, int] = {}
+            handles: List[object] = []
+            f0_idx = np.zeros(nb, np.int32)
+            f1_idx = np.zeros(nb, np.int32)
+
+            def slot(arr: np.ndarray) -> int:
+                key = id(arr)
+                if key not in uniq_ids:
+                    uniq_ids[key] = len(handles)
+                    handles.append(dev_cache.get(arr))
+                return uniq_ids[key]
+
+            for j, t in enumerate(tasks):
+                f0_idx[j] = slot(t.frame0)
+                f1_idx[j] = slot(t.frame1)
+            frames_dev, _u = dg.stack_frames(handles, fh, fw)
+
+        aff_d = warped_d = None
+        if features:
+            from optflow_tpu.features.align import (
+                print_align_warnings,
+                resolve_feature_params,
+            )
+
+            ftype, orb, surf, mp = resolve_feature_params(t0.im_data, args)
+            prealign = _batched_prealigner(fh, fw, ftype, orb, surf, mp,
+                                           None)
+            with timer.stage("prealign"):
+                aff_d, warped_d, n_good, enough, homo_ok, homos = prealign(
+                    frames_dev.astype(jnp.float32),
+                    jnp.asarray(f1_idx),
+                    jnp.asarray(f0_idx),
+                )
+                enough = np.asarray(enough)
+                homo_ok = np.asarray(homo_ok)
+            for j in range(n):
+                if cfg.debug:
+                    print(f"Number of good features: {int(n_good[j])}")
+                print_align_warnings(
+                    bool(enough[j]), bool(homo_ok[j]),
+                    np.asarray(homos[j]), cfg.debug,
+                )
+
+        # same-shape ROIs solve together (top/bottom strips share one
+        # program and one readback); shapes differ -> separate passes
+        by_shape: Dict[Tuple[int, int], List[Tuple[str, Roi]]] = {}
+        for roi_key in sorted(t0.rois.keys()):
+            roi: Roi = t0.rois[roi_key]  # type: ignore[assignment]
+            by_shape.setdefault(roi.shape, []).append((roi_key, roi))
+
+        payloads = []
+        for shape, roi_list in by_shape.items():
+            seed = int(group_rng.integers(1, 2 ** 31))
+            with timer.stage("solve"):
+                packed, i0s, i1s, flow = dg.solve_group_on_device(
+                    frames_dev, f0_idx, f1_idx, roi_list, params, mode,
+                    npoints, affines_dev=aff_d, warped_dev=warped_d,
+                    debug=cfg.debug, seed=seed,
+                )
+            payloads.append({
+                "roi_list": roi_list, "packed": packed, "i0s": i0s,
+                "i1s": i1s, "flow": flow, "seed": seed,
+            })
+        pending_groups.append({
+            "tasks": tasks, "payloads": payloads, "params": params,
+            "mode": mode, "features": features, "nb": nb,
+            "npoints": npoints, "frames_dev": frames_dev,
+            "f0_idx": f0_idx, "f1_idx": f1_idx, "aff_d": aff_d,
+            "warped_d": warped_d,
+        })
+        drain_pending()
+
+    def complete_device_group(ent: Dict):
+        from optflow_tpu.engine import device_group as dg
+
+        tasks = ent["tasks"]
+        n = len(tasks)
+        nb = ent["nb"]
+        npoints = ent["npoints"]
+        features = ent["features"]
+        for pl in ent["payloads"]:
+            roi_list = pl["roi_list"]
+            with timer.stage("sample"):
+                packed_np = np.asarray(pl["packed"])  # the one sync
+            samples, counts, viol, mxu = dg.unpack_samples(
+                packed_np, nb, npoints
+            )
+            # Repair policy: a sweep that entered the shift-compose warp
+            # at max|u| = SHIFT_WARP_MAX + d clamps its tap addresses by
+            # at most d px AT the offending pixels only — for d under
+            # ``repair_margin`` (default 0.25 px, well inside the 0.5 px
+            # EPE budget) the exact gather re-solve costs far more than
+            # the bounded error is worth. Set repair_margin: 0 for
+            # unconditional reference-exact repair.
+            from optflow_tpu.ops.warp import SHIFT_WARP_MAX
+
+            margin = float(args.get("repair_margin", 0.25))
+            need = viol & (mxu > float(SHIFT_WARP_MAX) + margin)
+            soft = viol & ~need
+            if soft[:, :n].any():
+                stats["soft_overshoots"] = stats.get(
+                    "soft_overshoots", 0
+                ) + int(soft[:, :n].sum())
+            if need[:, :n].any():
+                # rare exact-repair path: re-solve the offending images
+                # with the gather warp ON DEVICE (no full-field host
+                # roundtrip), splice, re-sample with the same key
+                print(
+                    f"batch_runner: repairing {int(need.sum())} "
+                    f"shift-contract violations (max|u| "
+                    f"{float(mxu.max()):.2f}) in a "
+                    f"{len(roi_list)}x{n}-solve group",
+                    file=sys.stderr,
+                )
+                with timer.stage("repair"):
+                    repaired = dg.repair_violations_on_device(
+                        pl["flow"], pl["i0s"], pl["i1s"], ent["params"],
+                        need.reshape(-1),
+                    )
+                    packed2, _, _, _ = dg.solve_group_on_device(
+                        ent["frames_dev"], ent["f0_idx"], ent["f1_idx"],
+                        roi_list, ent["params"], ent["mode"], npoints,
+                        affines_dev=ent["aff_d"],
+                        warped_dev=ent["warped_d"], debug=cfg.debug,
+                        seed=pl["seed"],
+                        flow_override=repaired,
+                    )
+                    samples, counts, _, _ = dg.unpack_samples(
+                        np.asarray(packed2), nb, npoints
+                    )
+            with timer.stage("postprocess"):
+                for r, (_roi_key, roi) in enumerate(roi_list):
+                    for j, task in enumerate(tasks):
+                        task.im_data["point_matches"] = (
+                            dg.matches_from_samples(
+                                samples[r, j], int(counts[r, j]), roi,
+                                1.0 / cfg.scale(task.im_data), features,
+                                task.im_data.get("point_matches"),
+                            )
+                        )
+        finish_tasks(tasks)
 
     groups: Dict[Tuple, List[_Task]] = {}
 
@@ -493,7 +683,7 @@ def run_job_batched(
         if _batchable(im_data, args, frame0, frame1, rois, can_batch_features):
             key = _group_key(im_data, args, frame0, frame1, rois, cfg)
             groups.setdefault(key, []).append(
-                _Task(i, im_data, frame0.copy(), frame1.copy(), rois)
+                _Task(i, im_data, frame0, frame1, rois)
             )
             if len(groups[key]) >= pair_batch:
                 flush_group(groups.pop(key))
@@ -514,6 +704,7 @@ def run_job_batched(
 
     for tasks in groups.values():
         flush_group(tasks)
+    drain_pending(all_groups=True)
     maybe_flush(len(cfg.images), force=True)
 
     if prefetch is not None:

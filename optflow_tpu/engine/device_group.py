@@ -1,0 +1,394 @@
+"""Device-resident group pipeline for ``random_points`` jobs.
+
+Round-5 fix for the job-level throughput gap (r4 verdict #1): the batch
+runner's original group solve uploaded full f32 ROI stacks and
+downloaded full flow/valid fields per group — ~170 MB of host<->device
+traffic against ~0.15 s of device compute per 16-pair group. Through
+this harness's ~80 MB/s tunnel (tools/probes/r5_transfer_cost.py) that
+made the PRODUCT 64x slower than the solver (0.86 vs 55 MP-pairs/s,
+bench_job.py). On a real PCIe host the same traffic would still bound
+throughput at large batch rates; the reference has the identical
+structural flaw (download + findNonZero per pair, src/optflow.cpp
+:475-494).
+
+For ``random_points`` output nothing full-sized is ever needed on the
+host, so this pipeline keeps the whole group on device:
+
+- unique frames upload ONCE per job (not per group) through a device
+  frame cache, as float16 — LOSSLESS for the production decode (scale
+  0.5 area-averages of uint8 are quarter-integers <= 255.75, exactly
+  representable in f16) and half the f32 bytes;
+- ROI slicing, pair gathering, feature pre-alignment, flow
+  post-processing (map composition, background zero-mask, union valid
+  mask — src/optflow.cpp:411-493 semantics) and POINT SAMPLING all run
+  on device;
+- sampling is a top-k over per-pixel random priorities: exactly a
+  uniform draw of ``npoints`` valid pixels without replacement (the
+  reference's findNonZero + shuffle + take-front, src/optflow.cpp
+  :522-572), deterministic under ``debug`` via a fixed PRNG key;
+- ONE packed readback per group carries samples + valid counts + the
+  shift-warp violation mask (a single tunnel roundtrip instead of
+  many full-field transfers).
+
+Engages for single-device meshes (the production axon regime and any
+1-chip host); multi-device jobs keep the sharded full-field path whose
+collectives the 8-device dryrun exercises.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optflow_tpu.core.config import TVL1Params
+from optflow_tpu.engine.rois import Roi
+
+# Upload dtype: see module docstring. OPTFLOW_TPU_FRAME_DTYPE=float32
+# restores full-precision uploads (2x the bytes) for A/B checks.
+import os as _os
+
+_FRAME_DTYPE = np.dtype(
+    _os.environ.get("OPTFLOW_TPU_FRAME_DTYPE", "float16")
+)
+
+
+class DeviceFrameCache:
+    """id(ndarray) -> on-device f16 frame, bounded FIFO.
+
+    The host FrameCache hands the SAME ndarray object to every pair that
+    reuses a (path, scale), so array identity keys device residency; the
+    host array is retained alongside so its id can't be recycled. 256
+    entries of a 0.5 Mpx f16 frame ~= 128 MB HBM (v5e has 16 GB)."""
+
+    def __init__(self, capacity: int = 256):
+        self._cap = capacity
+        self._entries: Dict[int, Tuple[np.ndarray, object]] = {}
+        self._order: List[int] = []
+
+    def get(self, arr: np.ndarray):
+        key = id(arr)
+        hit = self._entries.get(key)
+        if hit is not None:
+            return hit[1]
+        dev = jax.device_put(np.asarray(arr, _FRAME_DTYPE))
+        self._entries[key] = (arr, dev)
+        self._order.append(key)
+        if len(self._order) > self._cap:
+            old = self._order.pop(0)
+            self._entries.pop(old, None)
+        return dev
+
+
+def _bucket(n: int) -> int:
+    """Pad pair counts to small buckets so straggler groups don't each
+    compile fresh programs."""
+    b = 4
+    while b < n:
+        b *= 2
+    return b
+
+
+@functools.lru_cache(maxsize=256)
+def _stack_fn(u: int, fh: int, fw: int):
+    """Device-side stack of u cached frame handles -> (u, fh, fw) f16."""
+
+    def f(*frames):
+        return jnp.stack(frames)
+
+    return jax.jit(f)
+
+
+def stack_frames(handles: Sequence, fh: int, fw: int):
+    """Stack per-frame device arrays into one (U_bucket, fh, fw) f16
+    array on device (no host roundtrip). Pads with the first frame."""
+    u = _bucket(len(handles))
+    padded = list(handles) + [handles[0]] * (u - len(handles))
+    return _stack_fn(u, fh, fw)(*padded), u
+
+
+@functools.lru_cache(maxsize=256)
+def _gather_fn(
+    u: int,
+    fh: int,
+    fw: int,
+    rois: Tuple[Tuple[int, int, int, int], ...],  # (y, x, h, w) per ROI
+    features: bool,
+    n: int,
+):
+    """jit: ROI stacks for every (roi, pair) from the device frame stack.
+
+    Returns (R*n, h, w) f32 i0/i1 stacks ordered ROI-major (roi r's
+    pairs are rows [r*n, (r+1)*n)). With ``features``, frame1 comes from
+    the pre-warped per-pair frames instead of the frame stack."""
+    hh, ww = rois[0][2], rois[0][3]
+    assert all((r[2], r[3]) == (hh, ww) for r in rois)
+
+    def f(frames, f0_idx, f1_idx, warped):
+        frames = frames.astype(jnp.float32)
+        f0 = frames[f0_idx]  # (n, fh, fw)
+        f1 = warped if features else frames[f1_idx]
+        i0 = jnp.concatenate(
+            [
+                jax.lax.slice(f0, (0, y, x), (n, y + hh, x + ww))
+                for (y, x, _h, _w) in rois
+            ]
+        )
+        i1 = jnp.concatenate(
+            [
+                jax.lax.slice(f1, (0, y, x), (n, y + hh, x + ww))
+                for (y, x, _h, _w) in rois
+            ]
+        )
+        return i0, i1
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=256)
+def _post_sample_fn(h: int, w: int, mode: str, npoints: int, n: int):
+    """jit: flow post-processing + uniform valid-pixel sampling + packed
+    readback payload.
+
+    Post-processing mirrors engine.pair._roi_solver's post() — the
+    reference's solve_wrapper composition (src/optflow.cpp:411-493):
+    map/feature-affine composition, background zero-mask (frame1 <= 1),
+    union valid mask. Sampling: per-pixel U(0,1) priorities, invalid
+    pixels sent to -1, top-k of npoints -> a uniform draw without
+    replacement; count = min(npoints, n_valid).
+
+    Output: (n, npoints * 4 + 3) f32 rows of
+    [px, py, out_x, out_y] * npoints + [count, violated, max_u]."""
+    from optflow_tpu.ops.warp import affine_warp
+
+    features = mode.startswith("features")
+
+    def f(flow, i0s, i1s, affines, key, viol, mxu):
+        fx = flow[..., 0]
+        fy = flow[..., 1]
+        if mode != "displacement":
+            mx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+            my = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        if features:
+            ax = fx + mx
+            ay = fy + my
+            nx = jax.vmap(affine_warp)(ax, affines)
+            ny = jax.vmap(affine_warp)(ay, affines)
+            if mode == "features_flow":
+                fx, fy = nx - mx, ny - my
+            else:
+                fx, fy = nx, ny
+        elif mode == "map":
+            fx, fy = fx + mx, fy + my
+        bg = i1s <= 1.0
+        fx = jnp.where(bg, 0.0, fx)
+        fy = jnp.where(bg, 0.0, fy)
+        valid = (i0s > 1.0) | (i1s > 1.0)
+
+        pri = jnp.where(valid, jax.random.uniform(key, valid.shape), -1.0)
+        _top, idx = jax.lax.top_k(pri.reshape(n, h * w), npoints)
+        px = (idx % w).astype(jnp.float32)
+        py = (idx // w).astype(jnp.float32)
+        fxv = jnp.take_along_axis(fx.reshape(n, h * w), idx, axis=1)
+        fyv = jnp.take_along_axis(fy.reshape(n, h * w), idx, axis=1)
+        count = jnp.minimum(
+            jnp.sum(valid, axis=(1, 2)), npoints
+        ).astype(jnp.float32)
+        samples = jnp.stack([px, py, fxv, fyv], axis=2).reshape(n, -1)
+        return jnp.concatenate(
+            [samples, count[:, None], viol.astype(jnp.float32)[:, None],
+             mxu.astype(jnp.float32)[:, None]],
+            axis=1,
+        )
+
+    return jax.jit(f)
+
+
+def solve_group_on_device(
+    frames_dev,  # (U, fh, fw) f16 device stack
+    f0_idx: np.ndarray,
+    f1_idx: np.ndarray,
+    rois: Sequence[Tuple[str, Roi]],  # same-shape ROIs, ordered
+    params: TVL1Params,
+    mode: str,
+    npoints: int,
+    affines_dev=None,  # (n, 2, 3) f32 device (features groups)
+    warped_dev=None,  # (n, fh, fw) f32 device (features groups)
+    debug: bool = False,
+    seed: int = 0,
+    flow_override=None,  # (R*n, h, w, 2): re-sample existing flow
+):
+    """Solve all same-shape ROIs of a pair group fully on device.
+
+    Returns (packed, i0s, i1s, flow): ``packed`` is the
+    (R*n, npoints*4+2) payload (np.asarray it: ONE transfer), the rest
+    are retained device arrays for the rare exact-repair path, which
+    re-samples deterministically by passing the repaired flow back via
+    ``flow_override`` with the SAME seed."""
+    from optflow_tpu.ops.tvl1 import tvl1_flow_batched
+    from optflow_tpu.ops.tvl1_pallas import get_last_violation_mask
+
+    u, fh, fw = frames_dev.shape
+    n = len(f0_idx)
+    features = mode.startswith("features")
+    roi_key = tuple(
+        (r.y, r.x, r.height, r.width) for _name, r in rois
+    )
+    h, w = rois[0][1].shape
+    gather = _gather_fn(u, fh, fw, roi_key, features, n)
+    warped_arg = (
+        warped_dev if warped_dev is not None
+        else jnp.zeros((n, fh, fw), jnp.float32)
+    )
+    i0s, i1s = gather(
+        frames_dev, jnp.asarray(f0_idx), jnp.asarray(f1_idx), warped_arg
+    )
+    rn = len(roi_key) * n
+    if flow_override is not None:
+        flow = flow_override
+        mask = jnp.zeros((rn,), jnp.int32)
+        mxu = jnp.zeros((rn,), jnp.float32)
+    else:
+        # solve WITHOUT the per-call repair sync; the violation mask
+        # and the worst sweep-entry |u| ride the packed readback and
+        # the caller decides about repair afterwards
+        flow = tvl1_flow_batched(i0s, i1s, params, repair_contract=False)
+        mask = get_last_violation_mask()
+        if mask is None:
+            mask = jnp.zeros((rn,), jnp.int32)
+            mxu = jnp.zeros((rn,), jnp.float32)
+        else:
+            from optflow_tpu.ops.tvl1_pallas import get_last_max_u
+
+            mxu = get_last_max_u()
+            if mxu is None:
+                mxu = jnp.zeros((rn,), jnp.float32)
+    if affines_dev is None:
+        affines_dev = jnp.broadcast_to(
+            jnp.eye(2, 3, dtype=jnp.float32), (n, 2, 3)
+        )
+    affs = jnp.concatenate([affines_dev] * len(roi_key))
+    key = jax.random.PRNGKey(0 if debug else int(seed))
+    packed = _post_sample_fn(h, w, mode, npoints, rn)(
+        flow, i0s, i1s, affs, key, mask, mxu
+    )
+    return packed, i0s, i1s, flow
+
+
+def unpack_samples(
+    packed_np: np.ndarray,  # (R*n, npoints*4+2) from np.asarray(packed)
+    n: int,
+    npoints: int,
+):
+    """Split the packed payload back into per-(roi, pair) sample arrays:
+    returns (samples (R, n, npoints, 4), counts (R, n) int, violated
+    (R, n) bool, max_u (R, n) f32 — n includes bucket padding)."""
+    rn = packed_np.shape[0]
+    r = rn // n
+    samples = packed_np[:, : npoints * 4].reshape(r, n, npoints, 4)
+    counts = packed_np[:, npoints * 4].reshape(r, n).astype(np.int64)
+    viol = packed_np[:, npoints * 4 + 1].astype(bool).reshape(r, n)
+    mxu = packed_np[:, npoints * 4 + 2].reshape(r, n)
+    return samples, counts, viol, mxu
+
+
+def repair_violations_on_device(
+    flow,  # (N, h, w, 2) device flow from the fused solve
+    i0s,
+    i1s,
+    params: TVL1Params,
+    viol: np.ndarray,  # (N,) host bool mask from the packed readback
+):
+    """Replace contract-violating images' flow with an exact re-solve,
+    entirely on device (no full-field host roundtrips —
+    resolve_contract_violations's np.asarray splice would pull the whole
+    flow through the tunnel).
+
+    Repair ladder:
+
+    1. the FUSED solver rebuilt with a DOUBLED tap-shift contract
+       (s_max = 2 * SHIFT_WARP_MAX = 16 px): the same production kernel
+       family (fast, hardware-proven), exact as long as the re-solve's
+       own sweeps stay within 16 px — checked via the max|u| telemetry;
+    2. the pure-jnp XLA level solver, dispatched eagerly (unbounded
+       gather warp, no Mosaic kernels), for the essentially-never case
+       that even 16 px is exceeded. (A traced whole-pyramid program and
+       the eager legacy Pallas chain were both tried as repair vehicles
+       on hardware and crashed the v5e worker — the repair path of all
+       places must not take the solver down.)
+
+    Offender counts are bucketed so repeat repairs reuse compiled
+    programs."""
+    from optflow_tpu.ops.tvl1_pallas import (
+        get_last_max_u,
+        pallas_enabled,
+        tvl1_flow_batched_pallas,
+    )
+    from optflow_tpu.ops.warp import SHIFT_WARP_MAX
+
+    idx = np.nonzero(viol)[0]
+    k = _bucket(len(idx))
+    pad_idx = np.concatenate([idx, np.full(k - len(idx), idx[0])])
+    pad_idx_d = jnp.asarray(pad_idx.astype(np.int32))
+    i0r = i0s[pad_idx_d]
+    i1r = i1s[pad_idx_d]
+    wide = 2 * int(SHIFT_WARP_MAX)
+    exact = None
+    if pallas_enabled():
+        cand = tvl1_flow_batched_pallas(i0r, i1r, params, s_max=wide)
+        mx = get_last_max_u()
+        # rare path: the sync to check the wide contract held is cheap
+        if mx is None or float(np.asarray(mx).max()) <= wide:
+            exact = cand
+    if exact is None:
+        from optflow_tpu.ops.tvl1 import tvl1_flow, tvl1_flow_level
+
+        exact = jax.vmap(
+            lambda a, b: tvl1_flow(
+                a, b, params, level_solver=tvl1_flow_level
+            )
+        )(i0r, i1r)
+    return flow.at[jnp.asarray(idx.astype(np.int32))].set(
+        exact[: len(idx)]
+    )
+
+
+def matches_from_samples(
+    samples: np.ndarray,  # (npoints, 4): px, py, out_x, out_y
+    count: int,
+    roi: Roi,
+    inv_scale: float,
+    features: bool,
+    point_matches: Optional[Dict] = None,
+) -> Dict:
+    """Host-side assembly of one (pair, roi)'s matches from the device
+    samples — the coordinate math of engine.sampler.random_points
+    (src/optflow.cpp:522-572 semantics), including the dummy match for
+    an empty valid mask."""
+    if point_matches is None or not point_matches:
+        point_matches = {"p": [[], []], "q": [[], []], "w": []}
+    if count == 0:
+        point_matches["p"][0].append(-1)
+        point_matches["p"][1].append(-1)
+        point_matches["q"][0].append(-1)
+        point_matches["q"][1].append(-1)
+        point_matches["w"].append(0)
+        return point_matches
+    for px, py, fx, fy in samples[:count]:
+        point_matches["w"].append(1)
+        point_matches["p"][0].append((float(px) + roi.x) * inv_scale)
+        point_matches["p"][1].append((float(py) + roi.y) * inv_scale)
+        if features:
+            point_matches["q"][0].append((float(fx) + roi.x) * inv_scale)
+            point_matches["q"][1].append((float(fy) + roi.y) * inv_scale)
+        else:
+            point_matches["q"][0].append(
+                (float(px) + roi.x + float(fx)) * inv_scale
+            )
+            point_matches["q"][1].append(
+                (float(py) + roi.y + float(fy)) * inv_scale
+            )
+    return point_matches

@@ -17,13 +17,24 @@ from optflow_tpu.core.imgio import ImageReadError, read_gray_scaled
 
 
 class PrefetchLoader:
-    """Callable loader for runner.FrameCache with background lookahead."""
+    """Callable loader for runner.FrameCache with background lookahead
+    and a decoded-frame LRU.
+
+    The LRU matters because the production pair graph reuses every frame
+    in up to 2 * MAX_DZ = 6 pairs spread over ~4 * MAX_DZ consecutive
+    pairs (gen_cross_file_list.py z-distance <= 3) while the engine's
+    FrameCache holds only the current pair — without it every section
+    is DECODED ~5x (measured 18 s of a 47 s 512-pair TPU job) and every
+    re-decode is a NEW ndarray, which also defeats the identity-keyed
+    detect/describe dedup and device-upload caches. Returning the same
+    array object for a cached (path, scale) restores both."""
 
     def __init__(
         self,
         schedule: List[Tuple[str, float]],
         lookahead: int = 8,
         n_threads: int = 4,
+        cache_frames: int = 32,
     ):
         from optflow_tpu.native import NativeLoader
 
@@ -38,6 +49,8 @@ class PrefetchLoader:
         self._pos = 0
         self._lookahead = lookahead
         self._pending: Dict[Tuple[str, float], int] = {}
+        self._cache: Dict[Tuple[str, float], np.ndarray] = {}
+        self._cache_cap = cache_frames
         self._fill()
 
     def _fill(self):
@@ -50,19 +63,31 @@ class PrefetchLoader:
             if key not in self._pending:
                 self._pending[key] = self._native.submit(key[0], key[1])
 
+    def _insert(self, key, frame: np.ndarray) -> np.ndarray:
+        self._cache[key] = frame
+        while len(self._cache) > self._cache_cap:
+            self._cache.pop(next(iter(self._cache)))
+        return frame
+
     def __call__(self, path: str, scale: float) -> np.ndarray:
         key = (path, scale)
+        hit = self._cache.get(key)
+        if hit is not None:
+            # refresh LRU position
+            self._cache.pop(key)
+            self._cache[key] = hit
+            return hit
         job_id = self._pending.pop(key, None)
         if job_id is None:
             job_id = self._native.submit(path, scale)
         try:
-            return self._native.wait(job_id)
+            return self._insert(key, self._native.wait(job_id))
         except ImageReadError:
             # The native decoder covers PNG/JPEG/TIFF; anything it can't
             # parse falls back to the Python decoder (cv2/PIL) so a format
             # gap never silently skips a pair — the reference's cv::imread
             # (src/optflow.cpp:106) accepts whatever OpenCV was built with.
-            return read_gray_scaled(path, scale)
+            return self._insert(key, read_gray_scaled(path, scale))
         finally:
             self._fill()
 
@@ -96,4 +121,12 @@ def make_prefetch_loader(args: dict) -> Optional[PrefetchLoader]:
         schedule.append((str(im.get("q", "")), scale))
     if not schedule:
         return None
-    return PrefetchLoader(schedule)
+    # lookahead sized so decode stays ahead of a whole dispatch-
+    # pipelined batch group (the r5 device path keeps ~3 groups in
+    # flight); overridable per job
+    return PrefetchLoader(
+        schedule,
+        lookahead=int(args.get("prefetch_lookahead", 48)),
+        n_threads=int(args.get("prefetch_threads", 8)),
+        cache_frames=int(args.get("prefetch_cache_frames", 32)),
+    )

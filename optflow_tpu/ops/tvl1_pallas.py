@@ -113,6 +113,15 @@ _FUSED_BYTES_PER_PX = 250
 _FUSED_PX_BUDGET = int(_FUSED_VMEM_LIMIT * 0.92) // _FUSED_BYTES_PER_PX
 
 
+def _fused_px_budget(s_max: int = 8) -> int:
+    """Pixel budget for the fused kernel at a given warp tap-shift bound.
+    Wider contracts keep more roll/select temporaries alive: measured
+    118.08M scoped at (G=4, 136, 640) for s_max=16 (~339 B/px) vs ~250
+    B/px at the production s_max=8 — modeled as +12 B/px per extra tap."""
+    per_px = _FUSED_BYTES_PER_PX + 12 * max(0, s_max - 8)
+    return int(_FUSED_VMEM_LIMIT * 0.92) // per_px
+
+
 def _vmem_limit(geo: "_Geometry") -> int:
     """Per-call VMEM cap: the 9 scratch window arrays plus Mosaic's
     elementwise/roll temporaries (~8 more arrays' worth) and fixed
@@ -183,16 +192,16 @@ def _assign_canvases(shapes) -> list:
 # --- fused level kernel ------------------------------------------------------
 
 
-def _fused_geometry(h: int, w: int) -> _Geometry:
+def _fused_geometry(h: int, w: int, s_max: int = 8) -> _Geometry:
     """Whole-level single-block geometry for the fused kernel (no row
     chunking: the in-kernel warp's row shifts need the full height)."""
     hp = _round_up(h, 8)
     wp = _round_up(w, 128)
-    assert hp * wp <= _FUSED_PX_BUDGET, (h, w)
+    assert hp * wp <= _fused_px_budget(s_max), (h, w, s_max)
     return _Geometry(hp, wp, hp, 0, hp, 1)
 
 
-def _pick_stack(n: int, geo: _Geometry) -> int:
+def _pick_stack(n: int, geo: _Geometry, s_max: int = 8) -> int:
     """Images per kernel invocation. Coarse pyramid levels are LATENCY
     bound — hundreds of while-loop iterations whose per-step reduce and
     branch overhead dwarfs the ~10k px of VPU work — so as many images as
@@ -200,8 +209,9 @@ def _pick_stack(n: int, geo: _Geometry) -> int:
     leading axis; rolls on the trailing row/col axes never mix images).
     Returns the largest divisor of n whose stacked scratch fits."""
     g = 1
+    budget = _fused_px_budget(s_max)
     for cand in range(n, 0, -1):
-        if n % cand == 0 and cand * geo.hp * geo.wp <= _FUSED_PX_BUDGET:
+        if n % cand == 0 and cand * geo.hp * geo.wp <= budget:
             g = cand
             break
     return g
@@ -239,9 +249,12 @@ def _make_fused_kernel(
     ``g`` images share each invocation (grid step), stacked on a leading
     axis of every scratch array: rolls run on the trailing row/col axes
     so images never mix, the boundary masks broadcast over the stack,
-    and the epsilon exit criterion becomes TOTAL squared update of the
-    stack under the SINGLE-image threshold — strictly more converged
-    than the reference's per-image exit. Stacking amortizes the
+    and the epsilon exit tests the MAX of the per-image squared-update
+    errors — the loop runs until the slowest stacked image meets the
+    reference's per-image criterion. (A stack-TOTAL criterion was tried
+    and measured 33% slower end-to-end: it forced near-max iterations on
+    every coarse group because the summed error of G images rarely
+    drops below a single image's threshold.) Stacking amortizes the
     invocation + while-loop-step latency that dominates coarse levels.
     """
     hp, wp, block, halo, win, nb = geo
@@ -254,8 +267,8 @@ def _make_fused_kernel(
         return t * t * (1.5 * t - 2.5) + 1.0
 
     def kernel(dims_ref, thr_ref, img_ref, st_ref, out_ref, err_ref,
-               viol_ref, iters_ref, img_s, pk_s, wp_s, st_s, sem_in,
-               sem_out):
+               viol_ref, mxu_ref, iters_ref, img_s, pk_s, wp_s, st_s,
+               sem_in, sem_out):
         m = dims_ref[0]
         h = dims_ref[1]
         w = dims_ref[2]
@@ -391,7 +404,7 @@ def _make_fused_kernel(
         )
 
         def sweep(wi, carry):
-            viol, iters, _ = carry
+            viol, mxu, iters, _ = carry
             u1 = st_s[0]
             u2 = st_s[1]
             mask = err_row * err_col
@@ -399,11 +412,17 @@ def _make_fused_kernel(
             # G proven scalar full-reduces (vector-valued reduces trip
             # Mosaic's rank-1 layout crashes). One outlier image then
             # repairs alone instead of dragging its whole stack onto the
-            # slow exact path.
+            # slow exact path. The max |u| rides along so callers can
+            # judge HOW FAR a violating sweep entered beyond the
+            # contract (sub-margin overshoots skip the exact repair).
             absu = jnp.maximum(jnp.abs(u1), jnp.abs(u2)) * mask
+            absm = tuple(jnp.max(absu[g]) for g in range(G))
             viol = tuple(
-                v + (jnp.max(absu[g]) > S).astype(jnp.int32)
+                v + (absm[g] > S).astype(jnp.int32)
                 for g, v in enumerate(viol)
+            )
+            mxu = tuple(
+                jnp.maximum(m, absm[g]) for g, m in enumerate(mxu)
             )
 
             wf = w.astype(jnp.float32)
@@ -455,16 +474,18 @@ def _make_fused_kernel(
             it_fin, err_fin = jax.lax.while_loop(
                 iter_cond, iter_body, (jnp.int32(0), jnp.float32(jnp.inf))
             )
-            return viol, iters + it_fin, err_fin
+            return viol, mxu, iters + it_fin, err_fin
 
-        viol, iters, err_fin = jax.lax.fori_loop(
+        viol, mxu, iters, err_fin = jax.lax.fori_loop(
             0, warps, sweep,
-            (tuple(jnp.int32(0) for _ in range(G)), jnp.int32(0),
+            (tuple(jnp.int32(0) for _ in range(G)),
+             tuple(jnp.float32(0.0) for _ in range(G)), jnp.int32(0),
              jnp.float32(jnp.inf)),
         )
         err_ref[n, 0] = err_fin
         for g_i in range(G):
             viol_ref[n, g_i] = viol[g_i]
+            mxu_ref[n, g_i] = mxu[g_i]
         iters_ref[n, 0] = iters
 
         cp_out = pltpu.make_async_copy(st_s, out_ref.at[n], sem_out)
@@ -501,13 +522,14 @@ def _run_fused(
     dims = jnp.stack(
         [m.astype(jnp.int32), h.astype(jnp.int32), w.astype(jnp.int32)]
     )
-    new_state, errs, viol, iters = pl.pallas_call(
+    new_state, errs, viol, mxu, iters = pl.pallas_call(
         kernel,
         grid=(ng,),
         out_shape=(
             jax.ShapeDtypeStruct(state.shape, jnp.float32),
             jax.ShapeDtypeStruct((ng, 1), jnp.float32),
             jax.ShapeDtypeStruct((ng, g), jnp.int32),  # per-image viols
+            jax.ShapeDtypeStruct((ng, g), jnp.float32),  # per-image max|u|
             jax.ShapeDtypeStruct((ng, 1), jnp.int32),
         ),
         in_specs=[
@@ -518,6 +540,7 @@ def _run_fused(
         ],
         out_specs=(
             hbm_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -535,7 +558,7 @@ def _run_fused(
         ),
         interpret=interpret,
     )(dims, thresh.reshape(1).astype(jnp.float32), imgs, state)
-    return new_state, errs, viol, iters
+    return new_state, errs, viol, mxu, iters
 
 
 @functools.lru_cache(maxsize=512)
@@ -552,8 +575,8 @@ def _fused_level_fn(
     iterations in one launch), slice, and upscale the flow to the next
     finer level. Exactly one distinct Mosaic kernel per program."""
     h, w = shape
-    geo = _fused_geometry(h, w)
-    g = _pick_stack(n, geo)
+    geo = _fused_geometry(h, w, s_max)
+    g = _pick_stack(n, geo, s_max)
     ng = n // g
     l_t = float(params.lambda_ * params.theta)
     theta = float(params.theta)
@@ -580,7 +603,7 @@ def _fused_level_fn(
                 geo.wp,
             )
         )
-        state, _, viol, iters = _run_fused(
+        state, _, viol, mxu, iters = _run_fused(
             imgs,
             state,
             jnp.int32(params.iterations),
@@ -604,11 +627,542 @@ def _fused_level_fn(
         if next_shape is not None:
             u1 = resize(u1, next_shape) * inv
             u2 = resize(u2, next_shape) * inv
-        # viol is per image already ((ng, g) kernel output); iterations
-        # are per invocation — every stacked image ran that many
+        # viol/max|u| are per image already ((ng, g) kernel outputs);
+        # iterations are per invocation — every stacked image ran that
+        # many
         viol_img = viol.reshape(n)
+        mxu_img = mxu.reshape(n)
         iters_img = jnp.repeat(iters[:, 0], g)
-        return u1, u2, viol_img, iters_img
+        return u1, u2, viol_img, iters_img, mxu_img
+
+    return jax.jit(step)
+
+
+# --- blocked fused kernel (big levels) ---------------------------------------
+#
+# Pyramid levels beyond _FUSED_PX_BUDGET stream row blocks through VMEM
+# instead of dropping the whole pyramid to the legacy path (r4 verdict
+# #2: an 11.6 vs 56 MP-pairs/s cliff right above 0.42 Mpx). Structure:
+# ONE kernel launch per level with grid (n, warps * C, nb) — every warp
+# sweep AND every k-iteration chunk of every row block runs inside a
+# single program, like the monolithic fused kernel:
+#
+#  - chunk 0 of each sweep: DMA the (i0, i1, i1x, i1y) sources + state
+#    window, run the in-VMEM shift-compose warp over the window (halo =
+#    k + S makes it valid exactly on the iteration window), store the
+#    warped arrays' interior rows to HBM, run k iterations;
+#  - later chunks: DMA the stored warped arrays + state window, run k
+#    iterations. After k <= halo - S iterations the interior rows are
+#    bit-identical to a monolithic solve (one iteration propagates one
+#    pixel; the warp-invalid window edge sits k + S rows out).
+#  - state ping-pongs between TWO HBM buffers; which one is current is
+#    tracked in an SMEM scalar, so chunks of a CONVERGED sweep skip with
+#    ZERO DMA (no pass-through copies — the buffer pointer just doesn't
+#    flip). The kernel emits the final buffer index per image.
+#  - the epsilon exit is GLOBAL (the reference's whole-image criterion)
+#    at k-iteration granularity: each chunk writes its block-interior
+#    squared-update sum to an SMEM errs table; the next chunk sums the
+#    previous row across blocks and skips once it falls under the
+#    threshold. Granularity-k overshoot only tightens convergence.
+
+_BLOCKED_K = 8  # iterations per chunk == halo refresh cadence
+# Mosaic scoped-vmem model for the blocked kernel: 13 resident window
+# arrays (6 state + 3 warped + 4 sources) + iteration/warp temporaries;
+# conservative bound calibrated against the monolithic kernel's measured
+# ~250 B/px with its larger warp liveness. Wider warp contracts add
+# temporaries like the fused kernel (see _fused_px_budget).
+_BLOCKED_BYTES_PER_PX = 220
+
+
+def _blocked_geometry(
+    h: int, w: int, s_max: int, k: int = _BLOCKED_K,
+    budget: Optional[int] = None,
+) -> _Geometry:
+    """Row-block geometry for the blocked fused kernel: the largest
+    window whose scoped-vmem estimate fits, halo = k + s_max rows each
+    side (k for iteration reach, s_max for the warp's tap shifts). All
+    row quantities are multiples of 8 (f32 sublane tile) so DMA offsets
+    stay provably aligned."""
+    wp = _round_up(w, 128)
+    hp = _round_up(h, 8)
+    if budget is None:
+        budget = int(_FUSED_VMEM_LIMIT * 0.92)
+    per_px = _BLOCKED_BYTES_PER_PX + 12 * max(0, s_max - 8)
+    win_max = budget // (per_px * wp) // 8 * 8
+    halo = _round_up(k + s_max, 8)
+    if hp <= win_max:
+        # whole level fits one window: no halo needed, chunked
+        # iterations only (still exact — the window IS the level)
+        return _Geometry(hp, wp, hp, 0, hp, 1)
+    block = win_max - 2 * halo
+    assert block >= 8, (h, w, win_max, halo)
+    nb = -(-hp // block)
+    block = _round_up(-(-hp // nb), 8)
+    hp = block * nb
+    win = block + 2 * halo
+    assert hp >= win, (h, w, block, halo, nb)
+    return _Geometry(hp, wp, block, halo, win, nb)
+
+
+def _make_blocked_kernel(
+    geo: _Geometry,
+    l_t: float,
+    theta: float,
+    taut: float,
+    warps: int,
+    s_max: int,
+    k: int,
+    n_chunks: int,  # C = chunks per sweep
+    m_last: int,  # iterations in the last chunk of a sweep
+):
+    """Whole-level blocked kernel body (see module-section comment)."""
+    hp, wp, block, halo, win, nb = geo
+    S = int(s_max)
+    C = int(n_chunks)
+
+    def hat(t):
+        return t * t * (1.5 * t - 2.5) + 1.0
+
+    def kernel(dims_ref, thr_ref, src_ref, st_init_ref, st0_ref, st1_ref,
+               wr_ref, err_ref, viol_ref, mxu_ref, fin_ref, src_s, wp_s,
+               st_s, cur_s, sem_in, sem_out):
+        h = dims_ref[0]
+        w = dims_ref[1]
+        thresh = thr_ref[0]
+        n = pl.program_id(0)
+        c = pl.program_id(1)
+        i = pl.program_id(2)
+        sweep = c // C
+        in_sweep = c - sweep * C
+        is_start = in_sweep == 0
+
+        # window placement (multiples of 8 by construction)
+        start = pl.multiple_of(jnp.clip(i * block - halo, 0, hp - win), 8)
+        off = pl.multiple_of(i * block - start, 8)  # local interior row 0
+        out_row = pl.multiple_of(i * block, 8)
+
+        @pl.when(jnp.logical_and(c == 0, i == 0))
+        def _init_cur():
+            cur_s[0] = jnp.int32(2)  # 2 = the init-state input buffer
+
+        # converged? (never on a sweep's first chunk; thresh < 0 disables)
+        prev_err = jnp.float32(0.0)
+        for j in range(nb):
+            prev_err += err_ref[n, jnp.maximum(c - 1, 0), j]
+        conv = jnp.logical_and(
+            jnp.logical_not(is_start),
+            jnp.logical_and(thresh >= 0.0, prev_err <= thresh),
+        )
+
+        @pl.when(conv)
+        def _skip():
+            err_ref[n, c, i] = 0.0  # sticky: stays under threshold
+
+        @pl.when(jnp.logical_not(conv))
+        def _run():
+            cur = cur_s[0]
+            rows = start + jax.lax.broadcasted_iota(jnp.int32, (win, 1), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+            first_row = rows == 0
+            last_row = rows >= h - 1
+            first_col = cols == 0
+            last_col = cols >= w - 1
+            err_row = (
+                (rows >= out_row) & (rows < out_row + block) & (rows < h)
+            ).astype(jnp.float32)
+            err_col = (cols < w).astype(jnp.float32)
+
+            # ---- DMA in: state from the current buffer, plus sources
+            # (sweep start) or the stored warped arrays (mid-sweep).
+            # Starts first (both transfers overlap), then waits that
+            # mirror each start's descriptor exactly.
+            def _st_copy(ref):
+                return pltpu.make_async_copy(
+                    ref.at[n, :, pl.ds(start, win), :], st_s, sem_in.at[0]
+                )
+
+            def _src_copy():
+                return pltpu.make_async_copy(
+                    src_ref.at[n, :, pl.ds(start, win), :], src_s,
+                    sem_in.at[1],
+                )
+
+            def _wr_copy():
+                return pltpu.make_async_copy(
+                    wr_ref.at[n, :, pl.ds(start, win), :], wp_s,
+                    sem_in.at[1],
+                )
+
+            @pl.when(cur == 2)
+            def _():
+                _st_copy(st_init_ref).start()
+
+            @pl.when(cur == 0)
+            def _():
+                _st_copy(st0_ref).start()
+
+            @pl.when(cur == 1)
+            def _():
+                _st_copy(st1_ref).start()
+
+            @pl.when(is_start)
+            def _():
+                _src_copy().start()
+
+            @pl.when(jnp.logical_not(is_start))
+            def _():
+                _wr_copy().start()
+
+            @pl.when(cur == 2)
+            def _():
+                _st_copy(st_init_ref).wait()
+
+            @pl.when(cur == 0)
+            def _():
+                _st_copy(st0_ref).wait()
+
+            @pl.when(cur == 1)
+            def _():
+                _st_copy(st1_ref).wait()
+
+            @pl.when(is_start)
+            def _():
+                _src_copy().wait()
+
+            @pl.when(jnp.logical_not(is_start))
+            def _():
+                _wr_copy().wait()
+
+            # ---- sweep start: in-VMEM warp + violation telemetry -------
+            @pl.when(is_start)
+            def _warp():
+                u1 = st_s[0]
+                u2 = st_s[1]
+                mask = err_row * err_col
+                absu = jnp.maximum(jnp.abs(u1), jnp.abs(u2)) * mask
+                absm = jnp.max(absu)
+                viol_ref[n, sweep, i] = (absm > S).astype(jnp.int32)
+                mxu_ref[n, sweep, i] = absm
+
+                xs = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 1)
+                ys = start + jax.lax.broadcasted_iota(
+                    jnp.int32, (win, wp), 0
+                )
+                xs = xs.astype(jnp.float32)
+                ys = ys.astype(jnp.float32)
+                wf = w.astype(jnp.float32)
+                hf = h.astype(jnp.float32)
+                x = jnp.clip(xs + u1, 0.0, wf - 1.0)
+                y = jnp.clip(ys + u2, 0.0, hf - 1.0)
+                x0 = jnp.minimum(jnp.floor(x), wf - 2.0)
+                y0 = jnp.minimum(jnp.floor(y), hf - 2.0)
+                fx = x - x0
+                fy = y - y0
+                sx = jnp.clip(x0 - xs, -S, S).astype(jnp.int32)
+                sy = jnp.clip(y0 - ys, -S, S).astype(jnp.int32)
+                wx0 = hat(fx)
+                wx1 = hat(1.0 - fx)
+                wy0 = hat(fy)
+                wy1 = hat(1.0 - fy)
+                inv_norm = 1.0 / ((wx0 + wx1) * (wy0 + wy1))
+
+                # shift-compose warp of (i1, i1x, i1y) = src_s[1:4].
+                # X pass accumulates into wp_s (bounds live values),
+                # then the Y pass reads it back.
+                P = src_s[1:4]  # (3, win, wp)
+                q = pltpu.roll(P, S, 2)
+                acc = jnp.zeros_like(P)
+                for s in range(-S, S + 1):
+                    qn = pltpu.roll(q, wp - 1, 2)
+                    acc = jnp.where(
+                        (sx == s)[None], wx0[None] * q + wx1[None] * qn,
+                        acc,
+                    )
+                    q = qn
+                wp_s[...] = acc
+                q = pltpu.roll(wp_s[...], S, 1)
+                out = jnp.zeros_like(q)
+                for s in range(-S, S + 1):
+                    qn = pltpu.roll(q, win - 1, 1)
+                    out = jnp.where(
+                        (sy == s)[None], wy0[None] * q + wy1[None] * qn,
+                        out,
+                    )
+                    q = qn
+                i1w = inv_norm * out[0]
+                i1wx = inv_norm * out[1]
+                i1wy = inv_norm * out[2]
+                wp_s[0] = i1wx
+                wp_s[1] = i1wy
+                wp_s[2] = i1w - i1wx * u1 - i1wy * u2 - src_s[0]
+                # persist this block's interior of the warped arrays for
+                # the sweep's later chunks (stitched across blocks)
+                cp_w = pltpu.make_async_copy(
+                    wp_s.at[:, pl.ds(off, block), :],
+                    wr_ref.at[n, :, pl.ds(out_row, block), :],
+                    sem_out,
+                )
+                cp_w.start()
+                cp_w.wait()
+
+            # ---- k primal-dual iterations ------------------------------
+            def div(p1, p2):
+                dx = p1 - pltpu.roll(p1, 1, 1)
+                dx = jnp.where(first_col, p1, dx)
+                dy = p2 - pltpu.roll(p2, 1, 0)
+                dy = jnp.where(first_row, p2, dy)
+                return dx + dy
+
+            def fwd_grad(u):
+                ux = pltpu.roll(u, wp - 1, 1) - u
+                ux = jnp.where(last_col, 0.0, ux)
+                uy = pltpu.roll(u, win - 1, 0) - u
+                uy = jnp.where(last_row, 0.0, uy)
+                return ux, uy
+
+            def body(_, carry):
+                del _
+                u1 = st_s[0]
+                u2 = st_s[1]
+                i1wx = wp_s[0]
+                i1wy = wp_s[1]
+                rho_c = wp_s[2]
+                grad = i1wx * i1wx + i1wy * i1wy
+                rho = rho_c + i1wx * u1 + i1wy * u2
+                hi_t = l_t * grad
+                lo = rho < -hi_t
+                hi = rho > hi_t
+                fi = -rho * _recip(jnp.maximum(grad, _GRAD_EPS))
+                mid_ok = grad > _GRAD_EPS
+                d1 = jnp.where(
+                    lo, l_t * i1wx,
+                    jnp.where(
+                        hi, -l_t * i1wx, jnp.where(mid_ok, fi * i1wx, 0.0)
+                    ),
+                )
+                d2 = jnp.where(
+                    lo, l_t * i1wy,
+                    jnp.where(
+                        hi, -l_t * i1wy, jnp.where(mid_ok, fi * i1wy, 0.0)
+                    ),
+                )
+                u1n = u1 + d1 + theta * div(st_s[2], st_s[3])
+                u2n = u2 + d2 + theta * div(st_s[4], st_s[5])
+                err = jnp.sum(
+                    ((u1n - u1) ** 2 + (u2n - u2) ** 2) * err_row * err_col
+                )
+                st_s[0] = u1n
+                st_s[1] = u2n
+                u1x, u1y = fwd_grad(u1n)
+                u2x, u2y = fwd_grad(u2n)
+                ng1 = 1.0 + taut * jnp.sqrt(u1x * u1x + u1y * u1y)
+                ng2 = 1.0 + taut * jnp.sqrt(u2x * u2x + u2y * u2y)
+                r1 = _recip(ng1)
+                r2 = _recip(ng2)
+                st_s[2] = (st_s[2] + taut * u1x) * r1
+                st_s[3] = (st_s[3] + taut * u1y) * r1
+                st_s[4] = (st_s[4] + taut * u2x) * r2
+                st_s[5] = (st_s[5] + taut * u2y) * r2
+                return err
+
+            m = jnp.where(in_sweep == C - 1, jnp.int32(m_last),
+                          jnp.int32(k))
+            err_fin = jax.lax.fori_loop(
+                0, m, body, jnp.float32(jnp.inf)
+            )
+            err_ref[n, c, i] = err_fin
+
+            # ---- DMA out: interior rows to the OTHER buffer ------------
+            # ping-pong: cur==1 writes st0; cur==0 or cur==2 (the
+            # read-only init input) writes st1
+            dst = jnp.where(cur == 1, 0, 1)
+            @pl.when(dst == 0)
+            def _():
+                cp = pltpu.make_async_copy(
+                    st_s.at[:, pl.ds(off, block), :],
+                    st0_ref.at[n, :, pl.ds(out_row, block), :],
+                    sem_out,
+                )
+                cp.start()
+                cp.wait()
+
+            @pl.when(dst == 1)
+            def _():
+                cp = pltpu.make_async_copy(
+                    st_s.at[:, pl.ds(off, block), :],
+                    st1_ref.at[n, :, pl.ds(out_row, block), :],
+                    sem_out,
+                )
+                cp.start()
+                cp.wait()
+
+            @pl.when(i == nb - 1)
+            def _flip():
+                cur_s[0] = dst
+                fin_ref[n, 0] = dst
+
+        # fin is always defined: every sweep's chunk 0 runs, and chunk 0
+        # of the image sets it at its last block.
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("geo", "l_t", "theta", "taut", "warps", "s_max", "k",
+                     "iterations", "interpret"),
+)
+def _run_blocked(
+    src: jnp.ndarray,  # (N, 4, Hp, Wp) f32: i0, i1, i1x, i1y
+    state: jnp.ndarray,  # (N, 6, Hp, Wp) f32 initial state
+    h: jnp.ndarray,  # () int32 real rows
+    w: jnp.ndarray,  # () int32 real cols
+    thresh: jnp.ndarray,  # () f32 epsilon exit (< 0 disables)
+    geo: _Geometry,
+    l_t: float,
+    theta: float,
+    taut: float,
+    warps: int,
+    s_max: int,
+    k: int,
+    iterations: int,
+    interpret: bool = False,
+):
+    n = src.shape[0]
+    C = -(-iterations // k)
+    m_last = iterations - (C - 1) * k
+    T = warps * C
+    kernel = _make_blocked_kernel(
+        geo, l_t, theta, taut, warps, s_max, k, C, m_last
+    )
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    dims = jnp.stack([h.astype(jnp.int32), w.astype(jnp.int32)])
+    st0, st1, _, errs, viol, mxu, fin = pl.pallas_call(
+        kernel,
+        grid=(n, T, geo.nb),
+        out_shape=(
+            jax.ShapeDtypeStruct(state.shape, jnp.float32),  # ping
+            jax.ShapeDtypeStruct(state.shape, jnp.float32),  # pong
+            jax.ShapeDtypeStruct((n, 3) + state.shape[2:], jnp.float32),
+            jax.ShapeDtypeStruct((n, T, geo.nb), jnp.float32),  # errs
+            jax.ShapeDtypeStruct((n, warps, geo.nb), jnp.int32),  # viol
+            jax.ShapeDtypeStruct((n, warps, geo.nb), jnp.float32),  # mxu
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),  # final buffer
+        ),
+        in_specs=[smem_spec, smem_spec, hbm_spec, hbm_spec],
+        out_specs=(hbm_spec, hbm_spec, hbm_spec, smem_spec, smem_spec,
+                   smem_spec, smem_spec),
+        scratch_shapes=[
+            pltpu.VMEM((4, geo.win, geo.wp), jnp.float32),  # sources
+            pltpu.VMEM((3, geo.win, geo.wp), jnp.float32),  # warped
+            pltpu.VMEM((6, geo.win, geo.wp), jnp.float32),  # state
+            pltpu.SMEM((1,), jnp.int32),  # current-buffer pointer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(dims, thresh.reshape(1).astype(jnp.float32), src, state)
+    final = jnp.where(fin[:, 0, None, None, None] == 0, st0, st1)
+    return final, errs, viol, mxu
+
+
+@functools.lru_cache(maxsize=512)
+def _blocked_level_fn(
+    n: int,
+    shape: Tuple[int, int],
+    next_shape: Optional[Tuple[int, int]],
+    params: TVL1Params,
+    interpret: bool,
+    s_max: int,
+):
+    """ONE jitted program per BLOCKED pyramid level (levels beyond the
+    monolithic fused kernel's VMEM budget): XLA computes the i1 gradient
+    and padding, the blocked kernel streams row blocks through VMEM for
+    every sweep + iteration chunk, then the flow is sliced and upscaled.
+    Mirrors _fused_level_fn's contract ((u1, u2, viol_img, iters_img))."""
+    h, w = shape
+    geo = _blocked_geometry(h, w, s_max)
+    k = _BLOCKED_K
+    C = -(-params.iterations // k)
+    l_t = float(params.lambda_ * params.theta)
+    theta = float(params.theta)
+    taut = float(params.tau / params.theta)
+    scaled_eps = float(params.epsilon * params.epsilon * h * w)
+    use_eps = params.epsilon > 0
+    resize = jax.vmap(resize_bilinear, in_axes=(0, None))
+    grad_fn = jax.vmap(centered_gradient)
+    inv = 1.0 / params.scale_step
+
+    def step(i0, i1, u1, u2):
+        i1x, i1y = grad_fn(i1)
+        src = _pad_hw(
+            jnp.stack([i0, i1, i1x, i1y], axis=1), geo.hp, geo.wp
+        )
+        state = _pad_hw(
+            jnp.concatenate(
+                [u1[:, None], u2[:, None],
+                 jnp.zeros((n, 4, h, w), jnp.float32)],
+                axis=1,
+            ),
+            geo.hp,
+            geo.wp,
+        )
+        state, errs, viol, mxu = _run_blocked(
+            src,
+            state,
+            jnp.int32(h),
+            jnp.int32(w),
+            jnp.float32(scaled_eps if use_eps else -1.0),
+            geo=geo,
+            l_t=l_t,
+            theta=theta,
+            taut=taut,
+            warps=int(params.warps),
+            s_max=int(s_max),
+            k=k,
+            iterations=int(params.iterations),
+            interpret=interpret,
+        )
+        u1o = state[:, 0, :h, :w]
+        u2o = state[:, 1, :h, :w]
+        if next_shape is not None:
+            u1o = resize(u1o, next_shape) * inv
+            u2o = resize(u2o, next_shape) * inv
+        # violation semantics match the fused path: count of warp sweeps
+        # (per image) whose entry flow broke the shift contract anywhere,
+        # plus the per-image MAX |u| over sweeps/blocks (how far beyond
+        # the contract the worst sweep entered — callers use it to skip
+        # exact repair for insignificant overshoots)
+        viol_img = jnp.sum(
+            (jnp.sum(viol, axis=2) > 0).astype(jnp.int32), axis=1
+        )
+        mxu_img = jnp.max(mxu, axis=(1, 2))
+        # iterations run: chunk c ran iff it starts a sweep or the
+        # previous chunk's global error was still above threshold; a
+        # sweep's last chunk runs m_last, others k
+        m_last = params.iterations - (C - 1) * k
+        chunk_m = jnp.asarray(
+            [(m_last if (c % C) == C - 1 else k) for c in range(
+                int(params.warps) * C)],
+            jnp.int32,
+        )
+        prev_sum = jnp.concatenate(
+            [jnp.full((n, 1), jnp.inf), jnp.sum(errs, axis=2)[:, :-1]],
+            axis=1,
+        )
+        is_start = jnp.asarray(
+            [(c % C) == 0 for c in range(int(params.warps) * C)]
+        )
+        if use_eps:
+            ran = is_start[None] | (prev_sum > scaled_eps)
+        else:
+            ran = jnp.ones_like(prev_sum, bool)
+        iters_img = jnp.sum(ran * chunk_m[None], axis=1).astype(jnp.int32)
+        return u1o, u2o, viol_img, iters_img, mxu_img
 
     return jax.jit(step)
 
@@ -1130,6 +1684,7 @@ def tvl1_flow_batched_pallas(
     init_flow: Optional[jnp.ndarray] = None,  # (N, H, W, 2)
     interpret: bool | None = None,
     shift_warp: Optional[bool] = None,
+    s_max: Optional[int] = None,
 ) -> jnp.ndarray:
     """Full coarse-to-fine TV-L1 flow, natively batched over the leading
     axis, with the Pallas level solver. Mirrors ops.tvl1.tvl1_flow
@@ -1176,41 +1731,58 @@ def tvl1_flow_batched_pallas(
     # (~75 ms of the 227 ms batch). The FUSED path eliminates all three:
     # one program per level, each a single kernel running every warp
     # sweep + iteration loop VMEM-resident at the level's exact geometry.
-    # All-or-nothing: a MIXED fused/legacy pyramid (legacy chunked solve
-    # for just the oversized finest level) was tried and measured 29x
-    # SLOWER than the pure legacy path at (2, 512, 1024) — the
-    # standalone eager legacy level trips the platform's slow-program
-    # pathology (cf. the iterations=1 anomaly in PERF_NOTES_r04.md §2).
-    # Sections beyond the fused budget therefore take the whole-pyramid
-    # legacy path below (hardware-validated at 11.6 MP-pairs/s), and the
-    # production route for big sections remains the tiled row-sharded
-    # solve whose per-device windows fit the fused kernel.
+    # Levels beyond the fused VMEM budget run the BLOCKED fused kernel
+    # (round 5, verdict r4 #2): same one-program-per-level structure,
+    # streaming row blocks through VMEM — NOT the legacy chunked path (a
+    # mixed fused/legacy pyramid measured 29x SLOWER at (2, 512, 1024):
+    # the standalone eager legacy level trips the platform's
+    # slow-program pathology, cf. PERF_NOTES_r04.md §2).
+    # OPTFLOW_TPU_BLOCKED=0 restores the round-4 behavior (whole-pyramid
+    # legacy for oversized sections).
+    blocked_ok = os.environ.get("OPTFLOW_TPU_BLOCKED", "1") != "0"
+
+    def _fits_fused(shape):
+        return (
+            _round_up(shape[0], 8) * _round_up(shape[1], 128)
+            <= _FUSED_PX_BUDGET
+        )
+
     use_fused = (
         not interpret
         and params.gamma == 0.0
         and shift_warp is not False
         and os.environ.get("OPTFLOW_TPU_FUSED", "1") != "0"
         and os.environ.get("OPTFLOW_TPU_SINGLETON_LEVELS", "") != "1"
-        and all(
-            _round_up(hh, 8) * _round_up(ww, 128) <= _FUSED_PX_BUDGET
-            for (hh, ww) in shapes
-        )
+        and (blocked_ok or all(_fits_fused(sh) for sh in shapes))
     )
     if use_fused:
         from optflow_tpu.ops.warp import SHIFT_WARP_MAX
 
+        # s_max: tap-shift bound of the in-kernel warp. The default is
+        # the SHIFT_WARP_MAX production contract; repair paths re-solve
+        # violating images through a WIDER-contract kernel set (e.g.
+        # s_max=16) — same fused kernels, exact for larger |u|, at a
+        # warp cost that only those rare re-solves pay.
+        s_val = int(s_max if s_max is not None else SHIFT_WARP_MAX)
         viols = []
         iter_stats = []
+        max_us = []
         for s in range(len(shapes) - 1, -1, -1):
             nxt = shapes[s - 1] if s > 0 else None
-            step = _fused_level_fn(
-                n, shapes[s], nxt, params, interpret, int(SHIFT_WARP_MAX)
+            level_fn = (
+                _fused_level_fn if _fits_fused(shapes[s])
+                else _blocked_level_fn
             )
-            u1, u2, v, its = step(levels[s][:n], levels[s][n:], u1, u2)
+            step = level_fn(
+                n, shapes[s], nxt, params, interpret, s_val
+            )
+            u1, u2, v, its, mx = step(levels[s][:n], levels[s][n:], u1, u2)
             viols.append(v)
             iter_stats.append((shapes[s], its))
+            max_us.append(mx)
         _telemetry.fallback_counts = viols
         _telemetry.iteration_stats = iter_stats
+        _telemetry.max_u = max_us
         return jnp.stack([u1, u2], axis=-1)
 
     # Legacy grouped path (also the CPU/interpret and gather-warp path):
@@ -1250,6 +1822,7 @@ def tvl1_flow_batched_pallas(
     # call get_last_fallback_sweeps() after their own sync point.
     _telemetry.fallback_counts = fb_counts
     _telemetry.iteration_stats = []
+    _telemetry.max_u = []
 
     return jnp.stack([u1, u2], axis=-1)
 
@@ -1261,6 +1834,7 @@ class _Telemetry(threading.local):
     def __init__(self):
         self.fallback_counts: list = []
         self.iteration_stats: list = []
+        self.max_u: list = []
 
 
 _telemetry = _Telemetry()
@@ -1302,6 +1876,7 @@ def resolve_contract_violations(
     i1s: jnp.ndarray,
     params: TVL1Params,
     mask=None,
+    init_flow: Optional[jnp.ndarray] = None,
 ) -> np.ndarray:
     """Exact-semantics repair for the fused path: re-solve the images
     whose warp sweeps violated the |u| <= SHIFT_WARP_MAX contract (tap
@@ -1314,7 +1889,13 @@ def resolve_contract_violations(
 
     mask: the per-image violation mask captured right after the solve
     (required when the repair runs on a different thread than the solve
-    — telemetry is thread-local); defaults to this thread's last."""
+    — telemetry is thread-local); defaults to this thread's last.
+
+    init_flow: the (N, H, W, 2) initial flow the ORIGINAL solve ran
+    with, when params.use_initial_flow — the re-solve must start from
+    the same initialization or repaired images diverge from reference
+    semantics exactly in the large-initial-flow case most likely to
+    trigger violations. Sliced to the offending images here."""
     if mask is None:
         mask = get_last_violation_mask()
     flow_np = np.asarray(flow)
@@ -1326,11 +1907,31 @@ def resolve_contract_violations(
     idx = np.nonzero(m)[0]
     exact = tvl1_flow_batched_pallas(
         jnp.asarray(i0s)[idx], jnp.asarray(i1s)[idx], params,
+        init_flow=(
+            jnp.asarray(init_flow)[idx] if init_flow is not None else None
+        ),
         shift_warp=False,
     )
     flow_np = flow_np.copy()
     flow_np[idx] = np.asarray(exact)
     return flow_np
+
+
+def get_last_max_u() -> Optional["jnp.ndarray"]:
+    """Per-image (N,) maximum |flow component| at any warp-sweep entry of
+    the most recent fused/blocked solve on this thread — how far the
+    worst sweep entered the shift-compose warp. Values <= SHIFT_WARP_MAX
+    mean the contract held; values slightly beyond it bound the clamped
+    warp's sampling error (max_u - SHIFT_WARP_MAX px at the offending
+    pixels), which callers compare against their accuracy budget before
+    paying for an exact re-solve. None when the last solve ran on the
+    legacy path (lazy device array; reading syncs)."""
+    if not _telemetry.max_u:
+        return None
+    total = _telemetry.max_u[0]
+    for m in _telemetry.max_u[1:]:
+        total = jnp.maximum(total, m)
+    return total
 
 
 def get_last_violation_mask() -> Optional["jnp.ndarray"]:

@@ -147,3 +147,227 @@ def test_batched_skips_bad_images(tmp_path, rng):
     job["images"][0]["p"] = str(tmp_path / "missing.png")
     stats = run_job_batched(job, pair_batch=2)
     assert stats["skipped"] == 1 and stats["pairs"] == 1
+
+
+def test_device_sample_path_matches_host_sampling(tmp_path, rng):
+    """The device-resident random_points pipeline (single-device groups:
+    frames uploaded once as f16, ROI slice + solve + post + top-k
+    sampling on device, one packed readback — r5) must produce the same
+    match STRUCTURE as the host path (counts, weights, p on the sampled
+    grid, q = p + flow at the sample) and displacements consistent with
+    the synthetic truth."""
+    from PIL import Image
+
+    from optflow_tpu.dist.mesh import make_pair_mesh
+    from tests.test_tvl1 import translate
+
+    # chained TRANSLATED stack: flow between consecutive frames is the
+    # known (dx, dy), so both samplers' mean displacements are anchored
+    dx, dy = 1.1, -0.7
+    base = make_fibsem_like(rng, 48, 48)
+    paths = []
+    for i in range(5):
+        im = translate(base, dx * i, dy * i)
+        p = tmp_path / f"f{i}.png"
+        Image.fromarray(np.clip(im, 0, 255).astype(np.uint8)).save(str(p))
+        paths.append(str(p))
+    sink_dev = JsonlMatchSink(str(tmp_path / "dev.jsonl"))
+    sink_host = JsonlMatchSink(str(tmp_path / "host.jsonl"))
+    mesh1 = make_pair_mesh(n_pairs_axis=1, n_rows_axis=1)
+
+    def job(**kw):
+        return _job(
+            tmp_path, paths, tmp_path, output_type="random_points",
+            npoints=5, rois={"top": 16, "bottom": 16}, debug=True,
+            prefetch=False, **kw,
+        )
+
+    s_dev = run_job_batched(job(), sink=sink_dev, mesh=mesh1)
+    s_host = run_job_batched(
+        job(device_sample=False), sink=sink_host, mesh=mesh1
+    )
+    assert s_dev["pairs"] == s_host["pairs"] == 4
+    assert s_dev["batched"] == 4
+
+    import json
+
+    recs_dev = [json.loads(l) for l in
+                open(tmp_path / "dev.jsonl").read().splitlines()]
+    recs_host = [json.loads(l) for l in
+                 open(tmp_path / "host.jsonl").read().splitlines()]
+    assert len(recs_dev) == len(recs_host) == 4
+    for rd, rh in zip(recs_dev, recs_host):
+        assert rd["pId"] == rh["pId"] and rd["qId"] == rh["qId"]
+        md, mh = rd["matches"], rh["matches"]
+        # 5 points per ROI x 2 ROIs, weight 1 (full-intensity fixtures)
+        assert len(md["w"]) == len(mh["w"]) == 10
+        assert set(md["w"]) == {1}
+        # identical flow field, different (seeded) sample positions:
+        # both samplers' mean displacements sit on the known shift
+        dd = np.asarray(md["q"]) - np.asarray(md["p"])
+        dh = np.asarray(mh["q"]) - np.asarray(mh["p"])
+        for d in (dd, dh):
+            assert np.allclose(
+                d.mean(axis=1), [dx, dy], atol=0.4
+            ), d.mean(axis=1)
+
+
+def test_device_sample_dummy_match_on_empty_mask(tmp_path, rng):
+    """A pair whose frames are entirely background (<= 1.0 intensity)
+    must emit the reference's dummy (-1,-1)->(-1,-1) w=0 match through
+    the device sampler too (src/optflow.cpp:560-569)."""
+    from PIL import Image
+
+    from optflow_tpu.dist.mesh import make_pair_mesh
+
+    p0 = tmp_path / "z0.png"
+    p1 = tmp_path / "z1.png"
+    Image.fromarray(np.zeros((32, 48), np.uint8)).save(str(p0))
+    Image.fromarray(np.zeros((32, 48), np.uint8)).save(str(p1))
+    job = {
+        "style": 1, "scale": 1.0, "output_type": "random_points",
+        "npoints": 4, "rois": {"top": 16}, "prefetch": False,
+        "images": [{"p": str(p0), "q": str(p1), "pId": "a", "qId": "b",
+                    "pGroupId": "0.0", "qGroupId": "1.0",
+                    "output_name": "z"}],
+        **FAST_TV,
+    }
+    sink = JsonlMatchSink(str(tmp_path / "m.jsonl"))
+    mesh1 = make_pair_mesh(n_pairs_axis=1, n_rows_axis=1)
+    stats = run_job_batched(job, sink=sink, mesh=mesh1)
+    assert stats["pairs"] == 1
+
+    import json
+
+    rec = json.loads(open(tmp_path / "m.jsonl").read().splitlines()[0])
+    m = rec["matches"]
+    assert m["w"] == [0]
+    assert m["p"] == [[-1], [-1]] and m["q"] == [[-1], [-1]]
+
+
+def test_device_sample_repair_path(tmp_path, rng, monkeypatch):
+    """Fabricated shift-contract violations must route through the
+    on-device exact repair (gather-warp re-solve + splice + re-sample)
+    and still emit correct matches; on CPU the exact solver equals the
+    solve itself, so results are unchanged while the repair stage runs."""
+    import json
+
+    from PIL import Image
+
+    import optflow_tpu.ops.tvl1_pallas as tp
+    from optflow_tpu.dist.mesh import make_pair_mesh
+    from tests.test_tvl1 import translate
+
+    dx, dy = 1.0, -0.5
+    base = make_fibsem_like(rng, 48, 48)
+    paths = []
+    for i in range(3):
+        im = translate(base, dx * i, dy * i)
+        p = tmp_path / f"r{i}.png"
+        Image.fromarray(np.clip(im, 0, 255).astype(np.uint8)).save(str(p))
+        paths.append(str(p))
+
+    fake_mask = {"n": 0}
+
+    def fabricate():
+        # flag image 0 of every solve
+        n = fake_mask["n"]
+        m = np.zeros(n, bool)
+        if n:
+            m[0] = True
+        return jnp.asarray(m) if n else None
+
+    def fabricate_mxu():
+        # image 0 entered the warp 2 px beyond the contract — past the
+        # default 0.25 px repair margin, so the exact repair must run
+        n = fake_mask["n"]
+        m = np.zeros(n, np.float32)
+        if n:
+            m[0] = 10.0
+        return jnp.asarray(m) if n else None
+
+    import jax.numpy as jnp
+
+    from optflow_tpu.engine import device_group as dg
+
+    orig = dg.solve_group_on_device
+
+    def spy(frames_dev, f0_idx, f1_idx, rois, *a, **kw):
+        fake_mask["n"] = len(rois) * len(f0_idx)
+        return orig(frames_dev, f0_idx, f1_idx, rois, *a, **kw)
+
+    monkeypatch.setattr(dg, "solve_group_on_device", spy)
+    monkeypatch.setattr(tp, "get_last_violation_mask", fabricate)
+    monkeypatch.setattr(tp, "get_last_max_u", fabricate_mxu)
+
+    sink = JsonlMatchSink(str(tmp_path / "m.jsonl"))
+    mesh1 = make_pair_mesh(n_pairs_axis=1, n_rows_axis=1)
+    job = _job(
+        tmp_path, paths, tmp_path, output_type="random_points",
+        npoints=5, rois={"top": 16}, debug=True, prefetch=False,
+    )
+    stats = run_job_batched(job, sink=sink, mesh=mesh1)
+    assert stats["pairs"] == 2
+    assert "repair_s" in stats["timing"], stats["timing"]
+
+    recs = [json.loads(l) for l in
+            open(tmp_path / "m.jsonl").read().splitlines()]
+    for r in recs:
+        m = r["matches"]
+        assert len(m["w"]) == 5 and set(m["w"]) == {1}
+        d = np.asarray(m["q"]) - np.asarray(m["p"])
+        assert np.allclose(d.mean(axis=1), [dx, dy], atol=0.4)
+
+
+def test_device_sample_soft_overshoot_skips_repair(tmp_path, rng,
+                                                   monkeypatch):
+    """A violation whose max|u| is within repair_margin of the contract
+    bound (bounded sub-margin sampling error) must NOT pay the exact
+    re-solve — it is counted as a soft overshoot instead."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    import optflow_tpu.ops.tvl1_pallas as tp
+    from optflow_tpu.dist.mesh import make_pair_mesh
+    from optflow_tpu.engine import device_group as dg
+    from tests.test_tvl1 import translate
+
+    base = make_fibsem_like(rng, 48, 48)
+    paths = []
+    for i in range(3):
+        im = translate(base, 1.0 * i, 0.0)
+        p = tmp_path / f"s{i}.png"
+        Image.fromarray(np.clip(im, 0, 255).astype(np.uint8)).save(str(p))
+        paths.append(str(p))
+
+    fake = {"n": 0}
+    orig = dg.solve_group_on_device
+
+    def spy(frames_dev, f0_idx, f1_idx, rois, *a, **kw):
+        fake["n"] = len(rois) * len(f0_idx)
+        return orig(frames_dev, f0_idx, f1_idx, rois, *a, **kw)
+
+    monkeypatch.setattr(dg, "solve_group_on_device", spy)
+    monkeypatch.setattr(
+        tp, "get_last_violation_mask",
+        lambda: jnp.asarray(
+            np.eye(1, fake["n"], dtype=bool)[0]
+        ) if fake["n"] else None,
+    )
+    monkeypatch.setattr(
+        tp, "get_last_max_u",
+        lambda: jnp.asarray(
+            np.full(fake["n"], 8.1, np.float32)
+        ) if fake["n"] else None,
+    )
+
+    sink = JsonlMatchSink(str(tmp_path / "m.jsonl"))
+    mesh1 = make_pair_mesh(n_pairs_axis=1, n_rows_axis=1)
+    job = _job(
+        tmp_path, paths, tmp_path, output_type="random_points",
+        npoints=5, rois={"top": 16}, debug=True, prefetch=False,
+    )
+    stats = run_job_batched(job, sink=sink, mesh=mesh1)
+    assert stats["pairs"] == 2
+    assert "repair_s" not in stats["timing"]
+    assert stats.get("soft_overshoots", 0) >= 1

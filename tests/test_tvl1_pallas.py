@@ -173,7 +173,7 @@ def test_fused_level_matches_legacy_level(rng):
     u = jnp.zeros((1, h, w), jnp.float32)
 
     step = _fused_level_fn(1, (h, w), None, p, True, 8)
-    fu1, fu2, viol, iters = step(i0, i1, u, u)
+    fu1, fu2, viol, iters, _mx = step(i0, i1, u, u)
     assert int(viol[0]) == 0
     assert int(iters[0]) > 0
 
@@ -210,14 +210,14 @@ def test_fused_stacking_is_bit_exact(rng):
     p = TVL1Params(nscales=1, warps=2, iterations=30, epsilon=0.0)
 
     assert _pick_stack(n, _fused_geometry(h, w)) == n  # small level stacks
-    s1, s2, _, iters = _fused_level_fn(n, (h, w), None, p, True, 8)(
+    s1, s2, _, iters, _mx = _fused_level_fn(n, (h, w), None, p, True, 8)(
         i0, i1, u, u
     )
     assert list(np.asarray(iters)) == [60] * n  # warps * iterations, no exit
 
     solo = _fused_level_fn(1, (h, w), None, p, True, 8)
     for k in range(n):
-        b1, b2, _, _ = solo(i0[k:k + 1], i1[k:k + 1], u[:1], u[:1])
+        b1, b2, _, _, _ = solo(i0[k:k + 1], i1[k:k + 1], u[:1], u[:1])
         assert np.array_equal(np.asarray(s1[k]), np.asarray(b1[0]))
         assert np.array_equal(np.asarray(s2[k]), np.asarray(b2[0]))
 
@@ -312,9 +312,127 @@ def test_fused_stack_violations_are_per_image(rng):
 
     u1 = np.zeros((n, h, w), np.float32)
     u1[2] = 12.0  # image 2 enters beyond SHIFT_WARP_MAX
-    _, _, viol, _ = _fused_level_fn(n, (h, w), None, p, True, 8)(
+    _, _, viol, _, mx = _fused_level_fn(n, (h, w), None, p, True, 8)(
         i0, i1, jnp.asarray(u1), jnp.zeros((n, h, w), jnp.float32)
     )
+    assert float(np.asarray(mx)[2]) > 8.0  # max|u| telemetry
     v = np.asarray(viol)
     assert v[2] >= 1
     assert v[0] == v[1] == v[3] == 0, v
+
+
+def test_blocked_kernel_bit_exact_vs_fused(rng, monkeypatch):
+    """The blocked fused kernel (row-block streaming for levels beyond
+    the monolithic VMEM budget, r4 verdict #2) must be BIT-IDENTICAL to
+    the monolithic fused kernel with the epsilon exit disabled: the
+    k-iteration halo keeps every chunk's interior exact, and the
+    ping-pong buffers + per-sweep warp storage reassemble the same
+    global state. Forced multi-block (8 row blocks) via a tiny budget."""
+    from optflow_tpu.ops.tvl1_pallas import (
+        _blocked_geometry,
+        _blocked_level_fn,
+        _fused_level_fn,
+    )
+
+    h, w, n = 64, 128, 2
+    pairs = [make_fibsem_like(rng, h, w) for _ in range(n)]
+    i0 = jnp.asarray(np.stack(pairs))
+    i1 = jnp.asarray(
+        np.stack([translate(a, 1.2, -0.6) for a in pairs])
+    )
+    u = jnp.zeros((n, h, w), jnp.float32)
+    p = TVL1Params(nscales=1, warps=3, iterations=20, epsilon=0.0)
+
+    def small_geo(hh, ww, s, k=tp._BLOCKED_K, budget=None):
+        return _blocked_geometry(hh, ww, s, k, budget=220 * ww * 40)
+
+    monkeypatch.setattr(tp, "_blocked_geometry", small_geo)
+    geo = small_geo(h, w, 8)
+    assert geo.nb == 8 and geo.halo == 16, geo
+
+    f1, f2, _, fi, _ = _fused_level_fn(n, (h, w), None, p, True, 8)(
+        i0, i1, u, u
+    )
+    b1, b2, _, bi, _ = _blocked_level_fn(n, (h, w), None, p, True, 8)(
+        i0, i1, u, u
+    )
+    assert np.array_equal(np.asarray(f1), np.asarray(b1))
+    assert np.array_equal(np.asarray(f2), np.asarray(b2))
+    assert list(np.asarray(bi)) == list(np.asarray(fi)) == [60, 60]
+
+
+def test_blocked_kernel_epsilon_exit_and_viol(rng, monkeypatch):
+    """Blocked-kernel epsilon exit fires at k-iteration granularity (at
+    most k-1 extra iterations per sweep vs the fused per-iteration exit)
+    and the per-sweep violation telemetry flags contract-breaking entry
+    flow."""
+    from optflow_tpu.ops.tvl1_pallas import (
+        _blocked_geometry,
+        _blocked_level_fn,
+        _fused_level_fn,
+    )
+
+    h, w, n = 72, 128, 2
+    pairs = [make_fibsem_like(rng, h, w) for _ in range(n)]
+    i0 = jnp.asarray(np.stack(pairs))
+    i1 = jnp.asarray(
+        np.stack([translate(a, 1.2, -0.6) for a in pairs])
+    )
+    u = jnp.zeros((n, h, w), jnp.float32)
+    p = TVL1Params(nscales=1, warps=3, iterations=200, epsilon=0.01)
+
+    def small_geo(hh, ww, s, k=tp._BLOCKED_K, budget=None):
+        return _blocked_geometry(hh, ww, s, k, budget=220 * ww * 48)
+
+    monkeypatch.setattr(tp, "_blocked_geometry", small_geo)
+
+    _, _, _, fi, _ = _fused_level_fn(n, (h, w), None, p, True, 8)(
+        i0, i1, u, u
+    )
+    _, _, bv, bi, _ = _blocked_level_fn(n, (h, w), None, p, True, 8)(
+        i0, i1, u, u
+    )
+    fi = np.asarray(fi)
+    bi = np.asarray(bi)
+    k = tp._BLOCKED_K
+    assert (bi < 3 * 200).all()  # the exit fired
+    assert (bi >= fi).all()  # never exits earlier than the exact check
+    assert (bi <= fi + 3 * (k - 1) + 3 * k).all()  # bounded overshoot
+
+    # violation telemetry: one image enters a sweep beyond the contract
+    u1 = np.zeros((n, h, w), np.float32)
+    u1[1] = 12.0
+    _, _, bv, _, bmx = _blocked_level_fn(n, (h, w), None, p, True, 8)(
+        i0, i1, jnp.asarray(u1), u
+    )
+    v = np.asarray(bv)
+    assert v[1] >= 1 and v[0] == 0, v
+    assert float(np.asarray(bmx)[1]) > 8.0  # blocked max|u| telemetry
+
+
+def test_blocked_routing_beyond_budget(rng, monkeypatch):
+    """tvl1_flow_batched_pallas must route oversized levels to the
+    blocked kernel (not the legacy whole-pyramid path) when the fused
+    path is on: with a shrunken fused budget, a small pyramid runs
+    mixed fused/blocked and still matches the all-fused solve."""
+    h, w, n = 48, 128, 2
+    pairs = [make_fibsem_like(rng, h, w) for _ in range(n)]
+    i0 = jnp.asarray(np.stack(pairs))
+    i1 = jnp.asarray(
+        np.stack([translate(a, 1.0, 0.5) for a in pairs])
+    )
+    p = TVL1Params(nscales=3, warps=2, iterations=40)
+
+    ref = np.asarray(tp.tvl1_flow_batched_pallas(i0, i1, p))
+
+    # force "TPU-style" routing in interpret mode: pretend the finest
+    # level exceeds the fused budget so it takes the blocked kernel
+    monkeypatch.setattr(tp, "_FUSED_PX_BUDGET", 40 * 128)
+    monkeypatch.setattr(tp, "_on_tpu", lambda: True)
+    mixed = np.asarray(
+        tp.tvl1_flow_batched_pallas(i0, i1, p, interpret=True)
+    )
+    assert mixed.shape == ref.shape
+    # blocked levels may run a few extra iterations (k-granular exit):
+    # flows agree to numerical convergence level, not bit-exactly
+    assert float(np.abs(mixed - ref).max()) < 0.05
