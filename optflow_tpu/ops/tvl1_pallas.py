@@ -217,6 +217,12 @@ def _pick_stack(n: int, geo: _Geometry, s_max: int = 8) -> int:
     return g
 
 
+# A/B lever (PERF_NOTES_r04 §5 #1): store the per-sweep read-only warp
+# arrays (i1wx, i1wy, rho_c) as bf16 — halves their VMEM read traffic at
+# the cost of a cast per read in the iteration body. EPE-gated by bench.
+_BF16_WARP = os.environ.get("OPTFLOW_TPU_BF16_WARP", "0") == "1"
+
+
 def _make_fused_kernel(
     geo: _Geometry,
     g: int,
@@ -225,6 +231,8 @@ def _make_fused_kernel(
     taut: float,
     warps: int,
     s_max: int,
+    unroll: int = 1,
+    bf16_warp: bool = False,
 ):
     """ONE kernel per pyramid level: all ``warps`` re-linearizations AND
     their primal-dual iteration loops run in a single launch with every
@@ -332,9 +340,14 @@ def _make_fused_kernel(
             it, _ = carry
             u1 = st_s[0]
             u2 = st_s[1]
-            i1wx = wp_s[0]
-            i1wy = wp_s[1]
-            rho_c = wp_s[2]
+            if bf16_warp:
+                i1wx = wp_s[0].astype(jnp.float32)
+                i1wy = wp_s[1].astype(jnp.float32)
+                rho_c = wp_s[2].astype(jnp.float32)
+            else:
+                i1wx = wp_s[0]
+                i1wy = wp_s[1]
+                rho_c = wp_s[2]
             grad = i1wx * i1wx + i1wy * i1wy
             rho = rho_c + i1wx * u1 + i1wy * u2
             hi_t = l_t * grad
@@ -390,6 +403,21 @@ def _make_fused_kernel(
             st_s[4] = (st_s[4] + taut * u2x) * r2
             st_s[5] = (st_s[5] + taut * u2y) * r2
             return it + 1, err
+
+        if unroll > 1:
+            # LATENCY-bound invocations (small stacked levels) spend a
+            # fixed per-while-step cost on the scalar err reduce readback
+            # and branch; running ``unroll`` updates per step divides it.
+            # The exit check coarsens to every ``unroll`` iterations —
+            # up to unroll-1 extra updates per sweep, which only tighten
+            # convergence (EPE/oracle gated).
+            _one = iter_body
+
+            def iter_body(carry):  # noqa: F811
+                c = _one(carry)
+                for _ in range(unroll - 1):
+                    c = _one(c)
+                return c
 
         def iter_cond(carry):
             it, err = carry
@@ -467,9 +495,15 @@ def _make_fused_kernel(
             i1w = inv_norm * out[0]
             i1wx = inv_norm * out[1]
             i1wy = inv_norm * out[2]
-            wp_s[0] = i1wx
-            wp_s[1] = i1wy
-            wp_s[2] = i1w - i1wx * u1 - i1wy * u2 - i0
+            rho_c_new = i1w - i1wx * u1 - i1wy * u2 - i0
+            if bf16_warp:
+                wp_s[0] = i1wx.astype(jnp.bfloat16)
+                wp_s[1] = i1wy.astype(jnp.bfloat16)
+                wp_s[2] = rho_c_new.astype(jnp.bfloat16)
+            else:
+                wp_s[0] = i1wx
+                wp_s[1] = i1wy
+                wp_s[2] = rho_c_new
 
             it_fin, err_fin = jax.lax.while_loop(
                 iter_cond, iter_body, (jnp.int32(0), jnp.float32(jnp.inf))
@@ -498,7 +532,7 @@ def _make_fused_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("geo", "g", "l_t", "theta", "taut", "warps", "s_max",
-                     "interpret"),
+                     "unroll", "bf16_warp", "interpret"),
 )
 def _run_fused(
     imgs: jnp.ndarray,  # (NG, 2, G, Hp, Wp) f32: i0, i1
@@ -514,10 +548,14 @@ def _run_fused(
     taut: float,
     warps: int,
     s_max: int,
+    unroll: int = 1,
+    bf16_warp: bool = False,
     interpret: bool = False,
 ):
     ng = imgs.shape[0]
-    kernel = _make_fused_kernel(geo, g, l_t, theta, taut, warps, s_max)
+    kernel = _make_fused_kernel(
+        geo, g, l_t, theta, taut, warps, s_max, unroll, bf16_warp
+    )
     hbm_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     dims = jnp.stack(
         [m.astype(jnp.int32), h.astype(jnp.int32), w.astype(jnp.int32)]
@@ -548,7 +586,10 @@ def _run_fused(
         scratch_shapes=[
             pltpu.VMEM((2, g, geo.win, geo.wp), jnp.float32),  # i0, i1
             pltpu.VMEM((3, g, geo.win, geo.wp), jnp.float32),  # i1, gx, gy
-            pltpu.VMEM((3, g, geo.win, geo.wp), jnp.float32),  # warped
+            pltpu.VMEM(
+                (3, g, geo.win, geo.wp),
+                jnp.bfloat16 if bf16_warp else jnp.float32,
+            ),  # warped
             pltpu.VMEM((6, g, geo.win, geo.wp), jnp.float32),  # state
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
@@ -578,6 +619,18 @@ def _fused_level_fn(
     geo = _fused_geometry(h, w, s_max)
     g = _pick_stack(n, geo, s_max)
     ng = n // g
+    # Iteration-loop unroll: A/B-measured a NEGATIVE on hardware and
+    # kept OFF. Hypothesis was that small stacked levels are bound by
+    # the per-while-step err-reduce/branch latency; measured (r5):
+    # unroll 2/4 on the small levels left the headline unchanged
+    # (56.16 vs 56.2 MP-pairs/s) and made the latency-bound
+    # (1, 1024, 1024) solve 9% SLOWER (40.9 vs 37.2 ms) at identical
+    # px-iteration counts — Mosaic schedules the larger loop body
+    # worse, and the reduce was not the bottleneck. Set
+    # OPTFLOW_TPU_UNROLL to re-measure.
+    unroll = int(os.environ.get("OPTFLOW_TPU_UNROLL", "1"))
+    while unroll > 1 and params.iterations % unroll:
+        unroll //= 2
     l_t = float(params.lambda_ * params.theta)
     theta = float(params.theta)
     taut = float(params.tau / params.theta)
@@ -617,6 +670,8 @@ def _fused_level_fn(
             taut=taut,
             warps=int(params.warps),
             s_max=int(s_max),
+            unroll=unroll,
+            bf16_warp=_BF16_WARP,
             interpret=interpret,
         )
         state = state.transpose(0, 2, 1, 3, 4).reshape(
@@ -665,7 +720,12 @@ def _fused_level_fn(
 #    previous row across blocks and skips once it falls under the
 #    threshold. Granularity-k overshoot only tightens convergence.
 
-_BLOCKED_K = 8  # iterations per chunk == halo refresh cadence
+# Iterations per chunk == halo refresh cadence. Bigger k amortizes the
+# per-chunk window DMA over more iterations (the dominant blocked-level
+# overhead at k=8) at the cost of a wider halo and up to k-1 extra
+# iterations per sweep from the chunk-granular epsilon exit.
+# OPTFLOW_TPU_BLOCKED_K overrides for A/B measurement.
+_BLOCKED_K = int(os.environ.get("OPTFLOW_TPU_BLOCKED_K", "16"))
 # Mosaic scoped-vmem model for the blocked kernel: 13 resident window
 # arrays (6 state + 3 warped + 4 sources) + iteration/warp temporaries;
 # conservative bound calibrated against the monolithic kernel's measured
@@ -1078,6 +1138,7 @@ def _blocked_level_fn(
     params: TVL1Params,
     interpret: bool,
     s_max: int,
+    k: Optional[int] = None,
 ):
     """ONE jitted program per BLOCKED pyramid level (levels beyond the
     monolithic fused kernel's VMEM budget): XLA computes the i1 gradient
@@ -1085,8 +1146,9 @@ def _blocked_level_fn(
     every sweep + iteration chunk, then the flow is sliced and upscaled.
     Mirrors _fused_level_fn's contract ((u1, u2, viol_img, iters_img))."""
     h, w = shape
-    geo = _blocked_geometry(h, w, s_max)
-    k = _BLOCKED_K
+    if k is None:
+        k = _BLOCKED_K
+    geo = _blocked_geometry(h, w, s_max, k)
     C = -(-params.iterations // k)
     l_t = float(params.lambda_ * params.theta)
     theta = float(params.theta)
@@ -1769,13 +1831,15 @@ def tvl1_flow_batched_pallas(
         max_us = []
         for s in range(len(shapes) - 1, -1, -1):
             nxt = shapes[s - 1] if s > 0 else None
-            level_fn = (
-                _fused_level_fn if _fits_fused(shapes[s])
-                else _blocked_level_fn
-            )
-            step = level_fn(
-                n, shapes[s], nxt, params, interpret, s_val
-            )
+            if _fits_fused(shapes[s]):
+                step = _fused_level_fn(
+                    n, shapes[s], nxt, params, interpret, s_val
+                )
+            else:
+                step = _blocked_level_fn(
+                    n, shapes[s], nxt, params, interpret, s_val,
+                    _BLOCKED_K,
+                )
             u1, u2, v, its, mx = step(levels[s][:n], levels[s][n:], u1, u2)
             viols.append(v)
             iter_stats.append((shapes[s], its))

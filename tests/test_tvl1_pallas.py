@@ -343,7 +343,7 @@ def test_blocked_kernel_bit_exact_vs_fused(rng, monkeypatch):
     u = jnp.zeros((n, h, w), jnp.float32)
     p = TVL1Params(nscales=1, warps=3, iterations=20, epsilon=0.0)
 
-    def small_geo(hh, ww, s, k=tp._BLOCKED_K, budget=None):
+    def small_geo(hh, ww, s, k=8, budget=None):
         return _blocked_geometry(hh, ww, s, k, budget=220 * ww * 40)
 
     monkeypatch.setattr(tp, "_blocked_geometry", small_geo)
@@ -353,7 +353,7 @@ def test_blocked_kernel_bit_exact_vs_fused(rng, monkeypatch):
     f1, f2, _, fi, _ = _fused_level_fn(n, (h, w), None, p, True, 8)(
         i0, i1, u, u
     )
-    b1, b2, _, bi, _ = _blocked_level_fn(n, (h, w), None, p, True, 8)(
+    b1, b2, _, bi, _ = _blocked_level_fn(n, (h, w), None, p, True, 8, 8)(
         i0, i1, u, u
     )
     assert np.array_equal(np.asarray(f1), np.asarray(b1))
@@ -381,7 +381,7 @@ def test_blocked_kernel_epsilon_exit_and_viol(rng, monkeypatch):
     u = jnp.zeros((n, h, w), jnp.float32)
     p = TVL1Params(nscales=1, warps=3, iterations=200, epsilon=0.01)
 
-    def small_geo(hh, ww, s, k=tp._BLOCKED_K, budget=None):
+    def small_geo(hh, ww, s, k=8, budget=None):
         return _blocked_geometry(hh, ww, s, k, budget=220 * ww * 48)
 
     monkeypatch.setattr(tp, "_blocked_geometry", small_geo)
@@ -389,12 +389,12 @@ def test_blocked_kernel_epsilon_exit_and_viol(rng, monkeypatch):
     _, _, _, fi, _ = _fused_level_fn(n, (h, w), None, p, True, 8)(
         i0, i1, u, u
     )
-    _, _, bv, bi, _ = _blocked_level_fn(n, (h, w), None, p, True, 8)(
+    _, _, bv, bi, _ = _blocked_level_fn(n, (h, w), None, p, True, 8, 8)(
         i0, i1, u, u
     )
     fi = np.asarray(fi)
     bi = np.asarray(bi)
-    k = tp._BLOCKED_K
+    k = 8
     assert (bi < 3 * 200).all()  # the exit fired
     assert (bi >= fi).all()  # never exits earlier than the exact check
     assert (bi <= fi + 3 * (k - 1) + 3 * k).all()  # bounded overshoot
@@ -402,7 +402,7 @@ def test_blocked_kernel_epsilon_exit_and_viol(rng, monkeypatch):
     # violation telemetry: one image enters a sweep beyond the contract
     u1 = np.zeros((n, h, w), np.float32)
     u1[1] = 12.0
-    _, _, bv, _, bmx = _blocked_level_fn(n, (h, w), None, p, True, 8)(
+    _, _, bv, _, bmx = _blocked_level_fn(n, (h, w), None, p, True, 8, 8)(
         i0, i1, jnp.asarray(u1), u
     )
     v = np.asarray(bv)

@@ -76,7 +76,10 @@ def main():
 
     _ = float(jnp.ones((8, 128)).sum())
 
-    for shape in [(4, 512, 1024), (1, 1024, 1024), (16, 256, 1024)]:
+    shapes = [(4, 512, 1024), (1, 1024, 1024), (16, 256, 1024)]
+    if len(sys.argv) > 1:  # e.g. "4x512x1024" to run one shape
+        shapes = [tuple(int(x) for x in a.split("x")) for a in sys.argv[1:]]
+    for shape in shapes:
         print(f"shape {shape}:", flush=True)
         v, epe = measure(shape)
         assert epe <= 0.5, f"EPE gate failed: {epe}"
