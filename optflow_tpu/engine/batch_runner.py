@@ -176,14 +176,19 @@ def _batched_prealigner(h: int, w: int, ftype, orb, surf, mp, mesh):
     every frame in up to 6 pairs, gen_cross_file_list.py z-distance <= 3)
     and matching/RANSAC per pair via index arrays."""
     from optflow_tpu.features.align import find_alignment_indexed
-    from optflow_tpu.ops.warp import affine_warp
+    from optflow_tpu.ops.warp import affine_warp_shift
 
     def f(frames, f1_idx, f0_idx):
-        # affine maps frame1 -> frame0 space: src = frame1, dst = frame0
+        # affine maps frame1 -> frame0 space: src = frame1, dst = frame0.
+        # Shift-compose warp (no gathers): the vmapped gather warp
+        # measured 170 ms device for 16 frames — the feature path's
+        # single largest cost (r5). Clamp telemetry rides the outputs.
         res = find_alignment_indexed(
             frames, f1_idx, f0_idx, ftype, orb, surf, mp
         )
-        warped = jax.vmap(affine_warp)(frames[f1_idx], res.affine)
+        warped, _ncl = jax.vmap(affine_warp_shift)(
+            frames[f1_idx], res.affine
+        )
         return res.affine, warped, res.n_good, res.enough, res.homo_ok, res.H
 
     # pre-alignment runs unsharded (single dispatch, small outputs); a

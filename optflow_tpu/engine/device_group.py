@@ -162,7 +162,7 @@ def _post_sample_fn(h: int, w: int, mode: str, npoints: int, n: int):
 
     Output: (n, npoints * 4 + 3) f32 rows of
     [px, py, out_x, out_y] * npoints + [count, violated, max_u]."""
-    from optflow_tpu.ops.warp import affine_warp
+    from optflow_tpu.ops.warp import affine_warp_shift
 
     features = mode.startswith("features")
 
@@ -175,8 +175,10 @@ def _post_sample_fn(h: int, w: int, mode: str, npoints: int, n: int):
         if features:
             ax = fx + mx
             ay = fy + my
-            nx = jax.vmap(affine_warp)(ax, affines)
-            ny = jax.vmap(affine_warp)(ay, affines)
+            # shift-compose map resampling (the gather warp is the TPU
+            # pathology — see ops/warp.affine_warp_shift)
+            nx, _ = jax.vmap(affine_warp_shift)(ax, affines)
+            ny, _ = jax.vmap(affine_warp_shift)(ay, affines)
             if mode == "features_flow":
                 fx, fy = nx - mx, ny - my
             else:
@@ -304,53 +306,19 @@ def repair_violations_on_device(
 ):
     """Replace contract-violating images' flow with an exact re-solve,
     entirely on device (no full-field host roundtrips —
-    resolve_contract_violations's np.asarray splice would pull the whole
-    flow through the tunnel).
-
-    Repair ladder:
-
-    1. the FUSED solver rebuilt with a DOUBLED tap-shift contract
-       (s_max = 2 * SHIFT_WARP_MAX = 16 px): the same production kernel
-       family (fast, hardware-proven), exact as long as the re-solve's
-       own sweeps stay within 16 px — checked via the max|u| telemetry;
-    2. the pure-jnp XLA level solver, dispatched eagerly (unbounded
-       gather warp, no Mosaic kernels), for the essentially-never case
-       that even 16 px is exceeded. (A traced whole-pyramid program and
-       the eager legacy Pallas chain were both tried as repair vehicles
-       on hardware and crashed the v5e worker — the repair path of all
-       places must not take the solver down.)
-
-    Offender counts are bucketed so repeat repairs reuse compiled
-    programs."""
-    from optflow_tpu.ops.tvl1_pallas import (
-        get_last_max_u,
-        pallas_enabled,
-        tvl1_flow_batched_pallas,
-    )
-    from optflow_tpu.ops.warp import SHIFT_WARP_MAX
+    resolve_contract_violations's np.asarray splice would pull the
+    whole flow through the tunnel). The repair ladder lives in
+    ops.tvl1_pallas.exact_resolve (wide-contract fused kernels, then
+    the eager pure-jnp XLA solver — the only vehicles that do not
+    crash the v5e worker). Offender counts are bucketed so repeat
+    repairs reuse compiled programs."""
+    from optflow_tpu.ops.tvl1_pallas import exact_resolve
 
     idx = np.nonzero(viol)[0]
     k = _bucket(len(idx))
     pad_idx = np.concatenate([idx, np.full(k - len(idx), idx[0])])
     pad_idx_d = jnp.asarray(pad_idx.astype(np.int32))
-    i0r = i0s[pad_idx_d]
-    i1r = i1s[pad_idx_d]
-    wide = 2 * int(SHIFT_WARP_MAX)
-    exact = None
-    if pallas_enabled():
-        cand = tvl1_flow_batched_pallas(i0r, i1r, params, s_max=wide)
-        mx = get_last_max_u()
-        # rare path: the sync to check the wide contract held is cheap
-        if mx is None or float(np.asarray(mx).max()) <= wide:
-            exact = cand
-    if exact is None:
-        from optflow_tpu.ops.tvl1 import tvl1_flow, tvl1_flow_level
-
-        exact = jax.vmap(
-            lambda a, b: tvl1_flow(
-                a, b, params, level_solver=tvl1_flow_level
-            )
-        )(i0r, i1r)
+    exact = exact_resolve(i0s[pad_idx_d], i1s[pad_idx_d], params)
     return flow.at[jnp.asarray(idx.astype(np.int32))].set(
         exact[: len(idx)]
     )

@@ -69,7 +69,16 @@ class AlignResult(NamedTuple):
 def _detect_capacity(ftype: int, h: int, w: int, orb: OrbParams, surf: SurfParams) -> int:
     if ftype == ORB_TYPE:
         return min(max(int(orb.nfeatures), 64), 2048)
-    return int(np.clip(surf.keypoints_ratio * h * w, 256, 4096))
+    # Upper clamp 1536 (was 4096): descriptor cost is linear in CAPACITY
+    # (fixed shapes), and the production strip at the DEFAULT
+    # hessianThreshold=400 yields ~1430 valid keypoints (r5 measurement)
+    # — the reference's keypointsRatio * px buffer bound (0.01 * 262144
+    # = 2621 here, src/features.cpp:34-44 semantics) spent 45% of the
+    # describe stage on empty slots. Production runs threshold 1600
+    # (gen_cross_file_list defaults) with far fewer keypoints still.
+    # Keypoints remain the top-K by response, so extremely dense images
+    # lose only their weakest detections.
+    return int(np.clip(surf.keypoints_ratio * h * w, 256, 1536))
 
 
 def _detect_describe_device(im: jnp.ndarray, ftype: int, orb: OrbParams, surf: SurfParams):

@@ -125,7 +125,13 @@ def _topk_keypoints(
     capacity: int,
     threshold: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Fixed-capacity top-K (y, x, response, valid) from a response map."""
+    """Fixed-capacity top-K (y, x, response, valid) from a response map.
+
+    Exact top_k: an approx_max_k variant was A/B'd on hardware (r5) —
+    the batched 262k-row top_k costs <3 ms device time (sync-roundtrip
+    bound when measured naively), approx saved nothing, and embedding
+    approx_max_k in the big prealign program reproducibly crashed the
+    v5e worker."""
     h, w = response.shape
     masked = jnp.where(is_peak, response, -jnp.inf)
     vals, idx = jax.lax.top_k(masked.reshape(-1), capacity)

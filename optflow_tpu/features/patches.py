@@ -76,14 +76,41 @@ def extract_patches(
     yp = jnp.pad(y.astype(jnp.float32), (0, pad))
     sp = jnp.pad(sigma.astype(jnp.float32), (0, pad))
 
-    ims_t = ims.astype(dtype).transpose(1, 0, 2).reshape(h, c * w)
+    # Contract the LARGER image axis first: the first contraction's
+    # output is the big intermediate (kc*P x C*<other axis>), so folding
+    # the long axis away first shrinks it by long/short (4x at the
+    # production 256x1024 strips — measured as the describe stage's
+    # dominant HBM traffic, r5).
+    w_first = w >= h
+    if w_first:
+        # (C, H, W) flattened (c, h)-major — matches the (kc, p, c, h)
+        # unpack of the first contraction's output
+        ims_t = ims.astype(dtype).reshape(c * h, w)
+    else:
+        ims_t = ims.astype(dtype).transpose(1, 0, 2).reshape(h, c * w)
 
     def chunk(carry, inp):
         cx, cy, cs = inp  # (_K_CHUNK,) each
         pos_y = cy[:, None] + cs[:, None] * centers[None, :]  # (kc, P)
         pos_x = cx[:, None] + cs[:, None] * centers[None, :]
         wy = _hat_weights(pos_y, h, dtype)  # (kc, P, H)
-        wx = _hat_weights(pos_x, w, dtype)  # (kc, P, W)
+        wx = _hat_weights(pos_x, w, dtype)  # (kc, Q, W)
+        if w_first:
+            cols = jax.lax.dot_general(
+                wx.reshape(_K_CHUNK * p, w),
+                ims_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (kc*Q, C*H)
+            cols = cols.reshape(_K_CHUNK, p, c, h).astype(dtype)
+            # (kc, Q, C, H) x (kc, P, H) -> (kc, Q, C, P)
+            pat = jax.lax.dot_general(
+                cols,
+                wy,
+                dimension_numbers=(((3,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            return carry, pat.transpose(0, 2, 3, 1)  # (kc, C, P, Q)
         rows = jax.lax.dot_general(
             wy.reshape(_K_CHUNK * p, h),
             ims_t,

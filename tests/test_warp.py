@@ -250,3 +250,58 @@ def test_pallas_flow_with_shift_warp_converges(rng):
         jnp.sqrt((u1[inner] - 2.0) ** 2 + (u2[inner] + 1.0) ** 2).mean()
     )
     assert epe < 0.35, epe
+
+
+def test_affine_warp_shift_matches_gather(rng):
+    """The shift-compose affine warp (no gathers — the TPU fast path for
+    frame pre-warping and map composition, r5) must match the gather
+    warp: exactly for pure translations, and to sub-intensity tolerance
+    for small rotations/shears (its 2-pass factorization evaluates the
+    X weights at the tap row — an error bounded by |shear| * s_max
+    sample positions, same approximation the TV-L1 shift warp makes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from optflow_tpu.ops.warp import affine_warp, affine_warp_shift
+    from tests.conftest import make_fibsem_like
+
+    im = jnp.asarray(make_fibsem_like(rng, 96, 128))
+
+    # pure (fractional) translation: identical up to float assoc
+    aff_t = jnp.asarray(
+        np.array([[1.0, 0.0, 7.3], [0.0, 1.0, -4.6]], np.float32)
+    )
+    a = np.asarray(affine_warp(im, aff_t))
+    b, ncl = affine_warp_shift(im, aff_t)
+    assert int(ncl) == 0
+    assert np.allclose(a, np.asarray(b), atol=1e-3), (
+        np.abs(a - np.asarray(b)).max()
+    )
+
+    # small rotation + scale (production regime): close, zero clamps
+    th = 0.008
+    aff_r = jnp.asarray(
+        np.array(
+            [[1.004 * np.cos(th), -np.sin(th), 3.0],
+             [np.sin(th), 1.004 * np.cos(th), -2.0]],
+            np.float32,
+        )
+    )
+    a = np.asarray(affine_warp(im, aff_r))
+    b, ncl = affine_warp_shift(im, aff_r)
+    assert int(ncl) == 0
+    # interior comparison (borders differ by fill-edge handling order)
+    d = np.abs(a - np.asarray(b))[8:-8, 8:-8]
+    assert float(d.max()) < 1.5, float(d.max())
+
+    # a rotation far beyond the residual bound flags clamps
+    th = 0.5
+    aff_big = jnp.asarray(
+        np.array(
+            [[np.cos(th), -np.sin(th), 0.0],
+             [np.sin(th), np.cos(th), 0.0]],
+            np.float32,
+        )
+    )
+    _, ncl = affine_warp_shift(im, aff_big)
+    assert int(ncl) > 0
