@@ -323,7 +323,7 @@ def bench_roofline(out):
     fused_step = _fused_level_fn(NB, (H, W), None, p, False, 8)
 
     def fused_fn(x, y):
-        u1, _, _, _ = fused_step(ab, bb, ub, ub)
+        u1, _, _, _, _ = fused_step(ab, bb, ub, ub)
         return u1.sum()
 
     for name, fn in (("xla", xla_fn), ("pallas_legacy", pallas_fn),
