@@ -519,20 +519,22 @@ def run_job_batched(
 
         with timer.stage("h2d"):
             uniq_ids: Dict[int, int] = {}
-            handles: List[object] = []
+            uniq: List[np.ndarray] = []
             f0_idx = np.zeros(nb, np.int32)
             f1_idx = np.zeros(nb, np.int32)
 
             def slot(arr: np.ndarray) -> int:
                 key = id(arr)
                 if key not in uniq_ids:
-                    uniq_ids[key] = len(handles)
-                    handles.append(dev_cache.get(arr))
+                    uniq_ids[key] = len(uniq)
+                    uniq.append(arr)
                 return uniq_ids[key]
 
             for j, t in enumerate(tasks):
                 f0_idx[j] = slot(t.frame0)
                 f1_idx[j] = slot(t.frame1)
+            # one stacked upload for the group's cache misses
+            handles = dev_cache.get_many(uniq)
             frames_dev, _u = dg.stack_frames(handles, fh, fw)
 
         aff_d = warped_d = None

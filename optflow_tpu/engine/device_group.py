@@ -75,12 +75,39 @@ class DeviceFrameCache:
         if hit is not None:
             return hit[1]
         dev = jax.device_put(np.asarray(arr, _FRAME_DTYPE))
+        self._insert(key, arr, dev)
+        return dev
+
+    def get_many(self, arrs: Sequence[np.ndarray]) -> List[object]:
+        """Handles for a batch of frames; the MISSES upload as ONE
+        stacked device_put (per-frame puts pay ~10 ms of per-call
+        tunnel latency each — measured 2.2 s of a 15 s job) and are
+        sliced apart on device."""
+        handles: List[object] = [None] * len(arrs)
+        miss: List[int] = []
+        for j, arr in enumerate(arrs):
+            hit = self._entries.get(id(arr))
+            if hit is not None:
+                handles[j] = hit[1]
+            else:
+                miss.append(j)
+        if miss:
+            stacked = jax.device_put(
+                np.stack([np.asarray(arrs[j], _FRAME_DTYPE)
+                          for j in miss])
+            )
+            for pos, j in enumerate(miss):
+                dev = stacked[pos]
+                handles[j] = dev
+                self._insert(id(arrs[j]), arrs[j], dev)
+        return handles
+
+    def _insert(self, key: int, arr: np.ndarray, dev) -> None:
         self._entries[key] = (arr, dev)
         self._order.append(key)
         if len(self._order) > self._cap:
             old = self._order.pop(0)
             self._entries.pop(old, None)
-        return dev
 
 
 def _bucket(n: int) -> int:
