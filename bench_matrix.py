@@ -108,17 +108,18 @@ def bench_features(out):
     @jax.jit
     def prealign(a, b):
         res = find_alignment_batched_device(b, a, SURF_TYPE, orb, surf, mp)
-        warped, _ncl = jax.vmap(affine_warp_shift)(b, res.affine)
-        return warped, res.n_good, res.affine
+        warped, ncl = jax.vmap(affine_warp_shift)(b, res.affine)
+        return warped, res.n_good, res.affine, jnp.sum(ncl)
 
     def fn(a, b):
         # pre-align jitted; the TV-L1 solve orchestrated eagerly (the TPU
         # production path — see ops/tvl1_pallas.py)
-        warped, n_good, aff = prealign(a, b)
+        warped, n_good, aff, ncl = prealign(a, b)
         flow = tvl1_flow_batched(a, warped, params)
-        return flow, jnp.sum(n_good), aff
+        return flow, jnp.sum(n_good), aff, ncl
 
-    flow_d, g, aff = fn(i0, i1)
+    flow_d, g, aff, ncl_d = fn(i0, i1)
+    n_clamped = int(ncl_d)
     flow = np.asarray(flow_d, np.float64)
     n_good = int(g)
     aff_np = np.asarray(aff, np.float64)
@@ -167,14 +168,14 @@ def bench_features(out):
         # steady-state variant: no per-call repair-mask sync (bench.py
         # convention — production pipelines batches; the gated first
         # call above ran with the full repair semantics)
-        warped, n_g, aff2 = prealign(a, b)
+        warped, n_g, aff2, _ncl = prealign(a, b)
         return tvl1_flow_batched(a, warped, params,
                                  repair_contract=False)
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        f_d, _g, _a = fn(i0, i1)
+        f_d, _g, _a, _n = fn(i0, i1)
         _ = float(f_d[0, 0, 0, 0])
         times.append(time.perf_counter() - t0)
     dt_lat = float(np.median(times))
@@ -195,6 +196,7 @@ def bench_features(out):
         "seconds_per_batch": round(dt, 4),
         "latency_s_per_batch": round(dt_lat, 4),
         "good_matches_total": n_good,
+        "warp_clamped_px": n_clamped,
         "e2e_epe_px": round(e2e_err, 4),
         "e2e_ok": e2e_err <= 0.5,
         "affine_corner_err_px": round(float(np.mean(corner_errs)), 3),

@@ -22,6 +22,7 @@ Enable via the job key ``pair_batch`` (int > 1) or call
 from __future__ import annotations
 
 import dataclasses
+import functools
 import sys
 from typing import Dict, List, Optional, Tuple
 
@@ -168,7 +169,8 @@ def _batched_solver(h: int, w: int, params: TVL1Params, mode: str, mesh):
     return jax.jit(sharded), sharding
 
 
-def _batched_prealigner(h: int, w: int, ftype, orb, surf, mp, mesh):
+@functools.lru_cache(maxsize=128)
+def _batched_prealigner(h: int, w: int, ftype, orb, surf, mp):
     """Batched feature pre-alignment + frame-1 warp: the device equivalent
     of find_alignment + cv::cuda::warpAffine (src/optflow.cpp:366-377),
     one dispatch for the whole group. FRAME-DEDUPLICATED: detect +
@@ -182,20 +184,73 @@ def _batched_prealigner(h: int, w: int, ftype, orb, surf, mp, mesh):
         # affine maps frame1 -> frame0 space: src = frame1, dst = frame0.
         # Shift-compose warp (no gathers): the vmapped gather warp
         # measured 170 ms device for 16 frames — the feature path's
-        # single largest cost (r5). Clamp telemetry rides the outputs.
+        # single largest cost (r5). The per-image clamp counts ride the
+        # outputs; callers re-warp offending images with the exact
+        # gather warp (rare: the residual contract covers production
+        # affines, ops/warp.py AFFINE_SHIFT_MAX).
         res = find_alignment_indexed(
             frames, f1_idx, f0_idx, ftype, orb, surf, mp
         )
-        warped, _ncl = jax.vmap(affine_warp_shift)(
+        warped, ncl = jax.vmap(affine_warp_shift)(
             frames[f1_idx], res.affine
         )
-        return res.affine, warped, res.n_good, res.enough, res.homo_ok, res.H
+        return (res.affine, warped, res.n_good, res.enough, res.homo_ok,
+                res.H, ncl)
 
     # pre-alignment runs unsharded (single dispatch, small outputs); a
     # pairs-axis shard_map is a straightforward extension once feature
-    # groups exceed a single device's appetite
-    del mesh
+    # groups exceed a single device's appetite. lru-cached: a fresh
+    # jax.jit wrapper per group re-traced the large detect/describe
+    # program every group (code-review r5 #5).
     return jax.jit(f)
+
+
+def _fix_clamped_warps(frames_d, f1_idx, warped_d, aff_d, ncl_np):
+    """Re-warp images whose shift-compose affine warp clamped tap
+    shifts (affine beyond the AFFINE_SHIFT_MAX residual contract —
+    rare; the 20%-zoom sanity gate admits such affines in principle)
+    with the EXACT gather warp, splicing on device. Keeps the batched
+    path's output identical to the sequential path's for
+    out-of-contract affines (code-review r5 #1)."""
+    from optflow_tpu.ops.warp import affine_warp
+
+    idx = np.nonzero(ncl_np > 0)[0]
+    if len(idx) == 0:
+        return warped_d
+    print(
+        f"batch_runner: exact re-warp of {len(idx)} frames whose affine "
+        f"exceeded the shift-warp residual contract",
+        file=sys.stderr,
+    )
+    for j in idx:
+        exact = affine_warp(
+            frames_d[int(f1_idx[j])].astype(jnp.float32), aff_d[int(j)]
+        )
+        warped_d = warped_d.at[int(j)].set(exact)
+    return warped_d
+
+
+def _dedup_frames(tasks, n_pad: int):
+    """Identity-keyed frame dedup shared by the host and device group
+    paths: the FrameCache/PrefetchLoader hand the SAME ndarray to every
+    pair reusing a (path, scale), so id() keys one detect/describe/
+    upload per unique section. Returns (uniq, f0_idx, f1_idx)."""
+    uniq: List[np.ndarray] = []
+    uniq_ids: Dict[int, int] = {}
+    f0_idx = np.zeros(n_pad, np.int32)
+    f1_idx = np.zeros(n_pad, np.int32)
+
+    def slot(arr: np.ndarray) -> int:
+        key = id(arr)
+        if key not in uniq_ids:
+            uniq_ids[key] = len(uniq)
+            uniq.append(arr)
+        return uniq_ids[key]
+
+    for j, t in enumerate(tasks):
+        f0_idx[j] = slot(t.frame0)
+        f1_idx[j] = slot(t.frame1)
+    return uniq, f0_idx, f1_idx
 
 
 _batched_cache: Dict[Tuple, object] = {}
@@ -257,6 +312,10 @@ def _group_key(im_data, args, frame0, frame1, rois, cfg: JobConfig):
         roi_sig,
         features,
         fsig,
+        # per-image npoints overrides must not inherit the group
+        # leader's count in the device sampler (code-review r5 #3)
+        cfg.npoints(im_data),
+        cfg.scale(im_data),
     )
 
 
@@ -383,9 +442,12 @@ def run_job_batched(
             # device-resident pipeline uploads unique frames once and
             # reads back only sampled points, a few groups behind the
             # dispatch front (engine/device_group.py — the r5 fix for
-            # the 64x job-level transfer gap)
-            flush_group_device(tasks, params, mode, features)
-            return
+            # the 64x job-level transfer gap). It declines (returns
+            # False) for groups whose pre-align affine exceeds the
+            # shift-warp residual contract — those fall through to the
+            # host path, whose map composition uses the exact warp.
+            if flush_group_device(tasks, params, mode, features):
+                return
         n_pad = -(-len(tasks) // n_shards) * n_shards
         fh, fw = t0.frame0.shape
 
@@ -403,24 +465,7 @@ def run_job_batched(
             )
 
             ftype, orb, surf, mp = resolve_feature_params(t0.im_data, args)
-            # dedupe frames by object identity: the FrameCache hands the
-            # SAME ndarray to every pair that reuses a (path, scale), so
-            # chained pair lists detect+describe each section once
-            uniq: List[np.ndarray] = []
-            uniq_ids: Dict[int, int] = {}
-            f0_idx = np.zeros(n_pad, np.int32)
-            f1_idx = np.zeros(n_pad, np.int32)
-
-            def frame_slot(arr: np.ndarray) -> int:
-                key = id(arr)
-                if key not in uniq_ids:
-                    uniq_ids[key] = len(uniq)
-                    uniq.append(arr)
-                return uniq_ids[key]
-
-            for j, t in enumerate(tasks):
-                f0_idx[j] = frame_slot(t.frame0)
-                f1_idx[j] = frame_slot(t.frame1)
+            uniq, f0_idx, f1_idx = _dedup_frames(tasks, n_pad)
             # pad the unique-frame count to a bucket (multiple of 4) so
             # find_alignment_indexed doesn't recompile for every distinct
             # dedup pattern; zero pad frames detect nothing and are never
@@ -428,12 +473,14 @@ def run_job_batched(
             f_bucket = -(-len(uniq) // 4) * 4
             frames_np = np.zeros((f_bucket, fh, fw), np.float32)
             frames_np[: len(uniq)] = np.stack(uniq)
-            prealign = _batched_prealigner(fh, fw, ftype, orb, surf, mp, mesh)
+            prealign = _batched_prealigner(fh, fw, ftype, orb, surf, mp)
             with timer.stage("prealign"):
-                aff_d, warped_d, n_good, enough, homo_ok, homos = prealign(
-                    jnp.asarray(frames_np),
-                    jnp.asarray(f1_idx),
-                    jnp.asarray(f0_idx),
+                frames_d = jnp.asarray(frames_np)
+                f1_idx_d = jnp.asarray(f1_idx)
+                (aff_d, warped_d, n_good, enough, homo_ok, homos,
+                 ncl) = prealign(frames_d, f1_idx_d, jnp.asarray(f0_idx))
+                warped_d = _fix_clamped_warps(
+                    frames_d, f1_idx, warped_d, aff_d, np.asarray(ncl)
                 )
                 affines = np.asarray(aff_d)
                 warped = np.asarray(warped_d)
@@ -518,23 +565,12 @@ def run_job_batched(
         npoints = cfg.npoints(t0.im_data)
 
         with timer.stage("h2d"):
-            uniq_ids: Dict[int, int] = {}
-            uniq: List[np.ndarray] = []
-            f0_idx = np.zeros(nb, np.int32)
-            f1_idx = np.zeros(nb, np.int32)
-
-            def slot(arr: np.ndarray) -> int:
-                key = id(arr)
-                if key not in uniq_ids:
-                    uniq_ids[key] = len(uniq)
-                    uniq.append(arr)
-                return uniq_ids[key]
-
-            for j, t in enumerate(tasks):
-                f0_idx[j] = slot(t.frame0)
-                f1_idx[j] = slot(t.frame1)
-            # one stacked upload for the group's cache misses
-            handles = dev_cache.get_many(uniq)
+            uniq, f0_idx, f1_idx = _dedup_frames(tasks, nb)
+            # one stacked upload for the group's cache misses, at the
+            # scale-appropriate dtype (f16 only where lossless)
+            handles = dev_cache.get_many(
+                uniq, dg.frame_upload_dtype(cfg.scale(t0.im_data))
+            )
             frames_dev, _u = dg.stack_frames(handles, fh, fw)
 
         aff_d = warped_d = None
@@ -545,16 +581,28 @@ def run_job_batched(
             )
 
             ftype, orb, surf, mp = resolve_feature_params(t0.im_data, args)
-            prealign = _batched_prealigner(fh, fw, ftype, orb, surf, mp,
-                                           None)
+            prealign = _batched_prealigner(fh, fw, ftype, orb, surf, mp)
             with timer.stage("prealign"):
-                aff_d, warped_d, n_good, enough, homo_ok, homos = prealign(
+                (aff_d, warped_d, n_good, enough, homo_ok, homos,
+                 ncl) = prealign(
                     frames_dev.astype(jnp.float32),
                     jnp.asarray(f1_idx),
                     jnp.asarray(f0_idx),
                 )
                 enough = np.asarray(enough)
                 homo_ok = np.asarray(homo_ok)
+                ncl_np = np.asarray(ncl)
+            if (ncl_np[:n] > 0).any():
+                # out-of-contract affine: the device path's map
+                # composition would clamp too — decline the whole group
+                # to the host path (exact warps throughout)
+                print(
+                    f"batch_runner: affine beyond the shift-warp "
+                    f"residual contract in a {n}-pair group; using the "
+                    f"exact host path",
+                    file=sys.stderr,
+                )
+                return False
             for j in range(n):
                 if cfg.debug:
                     print(f"Number of good features: {int(n_good[j])}")
@@ -591,6 +639,7 @@ def run_job_batched(
             "warped_d": warped_d,
         })
         drain_pending()
+        return True
 
     def complete_device_group(ent: Dict):
         from optflow_tpu.engine import device_group as dg

@@ -15,9 +15,9 @@ For ``random_points`` output nothing full-sized is ever needed on the
 host, so this pipeline keeps the whole group on device:
 
 - unique frames upload ONCE per job (not per group) through a device
-  frame cache, as float16 — LOSSLESS for the production decode (scale
-  0.5 area-averages of uint8 are quarter-integers <= 255.75, exactly
-  representable in f16) and half the f32 bytes;
+  frame cache, as float16 where that is LOSSLESS (scales 1.0/0.5:
+  quarter-integer intensities <= 255.75 are exactly representable) and
+  float32 otherwise — see :func:`frame_upload_dtype`;
 - ROI slicing, pair gathering, feature pre-alignment, flow
   post-processing (map composition, background zero-mask, union valid
   mask — src/optflow.cpp:411-493 semantics) and POINT SAMPLING all run
@@ -47,17 +47,30 @@ import numpy as np
 from optflow_tpu.core.config import TVL1Params
 from optflow_tpu.engine.rois import Roi
 
-# Upload dtype: see module docstring. OPTFLOW_TPU_FRAME_DTYPE=float32
-# restores full-precision uploads (2x the bytes) for A/B checks.
 import os as _os
 
-_FRAME_DTYPE = np.dtype(
-    _os.environ.get("OPTFLOW_TPU_FRAME_DTYPE", "float16")
-)
+_FRAME_DTYPE_ENV = _os.environ.get("OPTFLOW_TPU_FRAME_DTYPE")
+
+
+def frame_upload_dtype(scale: float) -> np.dtype:
+    """Upload dtype for decoded frames at a given job scale.
+
+    float16 is LOSSLESS exactly when the decode produces quarter-integer
+    intensities <= 255.75 (scale 1.0: integers; scale 0.5: 2x2
+    area-averages of uint8). Other scales produce finer fractions that
+    f16 would round near bright pixels (ulp 0.125 above 128), silently
+    diverging from the host path — those upload as float32
+    (code-review r5 #6). OPTFLOW_TPU_FRAME_DTYPE overrides for A/B."""
+    if _FRAME_DTYPE_ENV:
+        return np.dtype(_FRAME_DTYPE_ENV)
+    return np.dtype(
+        np.float16 if float(scale) in (1.0, 0.5) else np.float32
+    )
 
 
 class DeviceFrameCache:
-    """id(ndarray) -> on-device f16 frame, bounded FIFO.
+    """id(ndarray) -> on-device frame (f16/f32 per the upload
+    dtype rule), bounded FIFO.
 
     The host FrameCache hands the SAME ndarray object to every pair that
     reuses a (path, scale), so array identity keys device residency; the
@@ -69,16 +82,17 @@ class DeviceFrameCache:
         self._entries: Dict[int, Tuple[np.ndarray, object]] = {}
         self._order: List[int] = []
 
-    def get(self, arr: np.ndarray):
+    def get(self, arr: np.ndarray, dtype=np.float16):
         key = id(arr)
         hit = self._entries.get(key)
         if hit is not None:
             return hit[1]
-        dev = jax.device_put(np.asarray(arr, _FRAME_DTYPE))
+        dev = jax.device_put(np.asarray(arr, dtype))
         self._insert(key, arr, dev)
         return dev
 
-    def get_many(self, arrs: Sequence[np.ndarray]) -> List[object]:
+    def get_many(self, arrs: Sequence[np.ndarray],
+                 dtype=np.float16) -> List[object]:
         """Handles for a batch of frames; the MISSES upload as ONE
         stacked device_put (per-frame puts pay ~10 ms of per-call
         tunnel latency each — measured 2.2 s of a 15 s job) and are
@@ -93,8 +107,7 @@ class DeviceFrameCache:
                 miss.append(j)
         if miss:
             stacked = jax.device_put(
-                np.stack([np.asarray(arrs[j], _FRAME_DTYPE)
-                          for j in miss])
+                np.stack([np.asarray(arrs[j], dtype) for j in miss])
             )
             for pos, j in enumerate(miss):
                 dev = stacked[pos]
@@ -120,21 +133,23 @@ def _bucket(n: int) -> int:
 
 
 @functools.lru_cache(maxsize=256)
-def _stack_fn(u: int, fh: int, fw: int):
-    """Device-side stack of u cached frame handles -> (u, fh, fw) f16."""
+def _stack_fn(u: int, fh: int, fw: int, dt: str):
+    """Device-side stack of u cached frame handles -> (u, fh, fw)."""
 
     def f(*frames):
-        return jnp.stack(frames)
+        return jnp.stack([fr.astype(dt) for fr in frames])
 
     return jax.jit(f)
 
 
 def stack_frames(handles: Sequence, fh: int, fw: int):
-    """Stack per-frame device arrays into one (U_bucket, fh, fw) f16
-    array on device (no host roundtrip). Pads with the first frame."""
+    """Stack per-frame device arrays into one (U_bucket, fh, fw) array
+    on device (no host roundtrip). Pads with the first frame; mixed
+    stored dtypes (a scale change mid-job) promote to the widest."""
     u = _bucket(len(handles))
     padded = list(handles) + [handles[0]] * (u - len(handles))
-    return _stack_fn(u, fh, fw)(*padded), u
+    dt = str(np.result_type(*[np.dtype(h.dtype) for h in padded]))
+    return _stack_fn(u, fh, fw, dt)(*padded), u
 
 
 @functools.lru_cache(maxsize=256)
@@ -253,7 +268,7 @@ def solve_group_on_device(
     """Solve all same-shape ROIs of a pair group fully on device.
 
     Returns (packed, i0s, i1s, flow): ``packed`` is the
-    (R*n, npoints*4+2) payload (np.asarray it: ONE transfer), the rest
+    (R*n, npoints*4+3) payload (np.asarray it: ONE transfer), the rest
     are retained device arrays for the rare exact-repair path, which
     re-samples deterministically by passing the repaired flow back via
     ``flow_override`` with the SAME seed."""
@@ -308,11 +323,12 @@ def solve_group_on_device(
 
 
 def unpack_samples(
-    packed_np: np.ndarray,  # (R*n, npoints*4+2) from np.asarray(packed)
+    packed_np: np.ndarray,  # (R*n, npoints*4+3) from np.asarray(packed)
     n: int,
     npoints: int,
 ):
-    """Split the packed payload back into per-(roi, pair) sample arrays:
+    """Split the (R*n, npoints*4+3) packed payload back into
+    per-(roi, pair) sample arrays:
     returns (samples (R, n, npoints, 4), counts (R, n) int, violated
     (R, n) bool, max_u (R, n) f32 — n includes bucket padding)."""
     rn = packed_np.shape[0]

@@ -1817,11 +1817,35 @@ def tvl1_flow_batched_pallas(
     # OPTFLOW_TPU_BLOCKED=0 restores the round-4 behavior (whole-pyramid
     # legacy for oversized sections).
     blocked_ok = os.environ.get("OPTFLOW_TPU_BLOCKED", "1") != "0"
+    from optflow_tpu.ops.warp import SHIFT_WARP_MAX
+
+    # s_max: tap-shift bound of the in-kernel warp. The default is
+    # the SHIFT_WARP_MAX production contract; repair paths re-solve
+    # violating images through a WIDER-contract kernel set (e.g.
+    # s_max=16) — same fused kernels, exact for larger |u|, at a
+    # warp cost that only those rare re-solves pay.
+    s_val = int(s_max if s_max is not None else SHIFT_WARP_MAX)
 
     def _fits_fused(shape):
+        # budget at THIS solve's warp contract: a wide-contract repair
+        # solve has a smaller monolithic budget (more warp temporaries),
+        # and routing with the default budget would trip
+        # _fused_geometry's assert on mid-size levels (code-review r5)
         return (
             _round_up(shape[0], 8) * _round_up(shape[1], 128)
-            <= _FUSED_PX_BUDGET
+            <= _fused_px_budget(s_val)
+        )
+
+    def _blocked_feasible(shape):
+        # very wide levels can leave no room for a row block between
+        # the halos; they must take the legacy whole-pyramid path
+        # instead of tripping _blocked_geometry's assert
+        wp = _round_up(shape[1], 128)
+        per_px = _BLOCKED_BYTES_PER_PX + 12 * max(0, s_val - 8)
+        win_max = int(_FUSED_VMEM_LIMIT * 0.92) // (per_px * wp) // 8 * 8
+        halo = _round_up(_BLOCKED_K + s_val, 8)
+        return _round_up(shape[0], 8) <= win_max or (
+            win_max - 2 * halo >= 8
         )
 
     use_fused = (
@@ -1830,17 +1854,12 @@ def tvl1_flow_batched_pallas(
         and shift_warp is not False
         and os.environ.get("OPTFLOW_TPU_FUSED", "1") != "0"
         and os.environ.get("OPTFLOW_TPU_SINGLETON_LEVELS", "") != "1"
-        and (blocked_ok or all(_fits_fused(sh) for sh in shapes))
+        and all(
+            _fits_fused(sh) or (blocked_ok and _blocked_feasible(sh))
+            for sh in shapes
+        )
     )
     if use_fused:
-        from optflow_tpu.ops.warp import SHIFT_WARP_MAX
-
-        # s_max: tap-shift bound of the in-kernel warp. The default is
-        # the SHIFT_WARP_MAX production contract; repair paths re-solve
-        # violating images through a WIDER-contract kernel set (e.g.
-        # s_max=16) — same fused kernels, exact for larger |u|, at a
-        # warp cost that only those rare re-solves pay.
-        s_val = int(s_max if s_max is not None else SHIFT_WARP_MAX)
         viols = []
         iter_stats = []
         max_us = []

@@ -371,3 +371,50 @@ def test_device_sample_soft_overshoot_skips_repair(tmp_path, rng,
     assert stats["pairs"] == 2
     assert "repair_s" not in stats["timing"]
     assert stats.get("soft_overshoots", 0) >= 1
+
+
+def test_device_path_declines_out_of_contract_affine(tmp_path, rng,
+                                                     monkeypatch):
+    """A features group whose pre-align affine exceeds the shift-warp
+    residual contract must fall through to the exact host path instead
+    of sampling clamped maps (code-review r5 #1)."""
+    import jax
+    import jax.numpy as jnp
+
+    import optflow_tpu.engine.batch_runner as br
+    from optflow_tpu.dist.mesh import make_pair_mesh
+
+    paths = _write_pairs(tmp_path, rng, n_pairs=2, h=48, w=48)
+
+    real = br._batched_prealigner.__wrapped__
+
+    def fake(h, w, ftype, orb, surf, mp):
+        inner = real(h, w, ftype, orb, surf, mp)
+
+        def f(frames, f1_idx, f0_idx):
+            out = list(inner(frames, f1_idx, f0_idx))
+            out[-1] = jnp.ones_like(out[-1])  # every image "clamped"
+            return tuple(out)
+
+        return f
+
+    monkeypatch.setattr(br, "_batched_prealigner", fake)
+
+    sink = JsonlMatchSink(str(tmp_path / "m.jsonl"))
+    mesh1 = make_pair_mesh(n_pairs_axis=1, n_rows_axis=1)
+    job = _job(
+        tmp_path, paths, tmp_path, output_type="random_points",
+        npoints=4, rois={"top": 16}, features=2, prefetch=False,
+    )
+    stats = run_job_batched(job, sink=sink, mesh=mesh1)
+    assert stats["pairs"] == 2 and stats["batched"] == 2
+    # declined groups never reach the device sampler
+    assert "sample_s" not in stats["timing"], stats["timing"]
+
+    import json
+
+    recs = [json.loads(l) for l in
+            open(tmp_path / "m.jsonl").read().splitlines()]
+    assert len(recs) == 2
+    for r in recs:
+        assert len(r["matches"]["w"]) == 4

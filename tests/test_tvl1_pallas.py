@@ -436,3 +436,23 @@ def test_blocked_routing_beyond_budget(rng, monkeypatch):
     # blocked levels may run a few extra iterations (k-granular exit):
     # flows agree to numerical convergence level, not bit-exactly
     assert float(np.abs(mixed - ref).max()) < 0.05
+
+
+def test_wide_contract_budgets():
+    """Wider warp contracts shrink the fused pixel budget (more Mosaic
+    temporaries — measured 118M scoped at s=16 under the s=8 budget) and
+    the blocked geometry stays feasible across the repair ladder's
+    shapes (code-review r5 #2/#4)."""
+    from optflow_tpu.ops.tvl1_pallas import (
+        _blocked_geometry,
+        _fused_px_budget,
+    )
+
+    assert _fused_px_budget(16) < _fused_px_budget(8)
+    # a mid-size level in the (wide, default] budget band must have a
+    # valid blocked geometry at the wide contract (the repair ladder
+    # routes it there instead of tripping the monolithic assert)
+    h, w = 384, 1024
+    assert _fused_px_budget(16) < h * w <= _fused_px_budget(8)
+    geo = _blocked_geometry(h, w, 16)
+    assert geo.nb >= 1 and geo.block >= 8
